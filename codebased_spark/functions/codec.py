@@ -1,0 +1,122 @@
+"""Posting-list codec: delta + LEB128 varint, fully numpy-vectorized.
+
+The engine-internal binary format (SURVEY.md §7.2) — the Spark analogue
+of FTS5's doclist encoding (fts5 stores delta+varint doclists in its
+%_data shadow table). All encode/decode paths are vectorized numpy (no
+per-int Python), so codec throughput keeps up with Arrow batch transport
+inside pandas UDFs.
+
+Layout per posting row (one (term, col) within one doc-block):
+  doc_bytes : varint(delta(doc_ids))          first doc absolute
+  tf_bytes  : varint(tf per doc)              tf >= 1
+  pos_bytes : per doc: varint(first pos), varint(pos deltas)  concatenated
+  skip_*    : per SKIP_EVERY docs: last_doc_id, max_tf, min_dl, and byte
+              offsets into doc/tf/pos bytes — block-max metadata enabling
+              skip-decode and WAND-style bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SKIP_EVERY = 128
+
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.searchsorted(_THRESHOLDS, v, side="right") + 1
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        m = nb > j
+        idx = starts[m] + j
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode LEB128 bytes -> int64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    out = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lens.max())):
+        m = lens > j
+        out[m] |= (b[starts[m] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return out.astype(np.int64)
+
+
+def encode_deltas(sorted_values: np.ndarray) -> bytes:
+    """varint(delta) of a strictly-increasing int array; first absolute."""
+    v = np.asarray(sorted_values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    d = np.empty_like(v)
+    d[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    return encode_varint(d)
+
+
+def decode_deltas(buf: bytes) -> np.ndarray:
+    d = decode_varint(buf)
+    return np.cumsum(d, dtype=np.int64) if d.size else d
+
+
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Per-doc position lists (concatenated, each ascending) -> bytes.
+    Within a doc: first position absolute, then deltas."""
+    p = np.asarray(flat_positions, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    d = np.empty_like(p)
+    d[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=d[1:])
+    d[starts] = p[starts]  # reset at doc boundaries (absolute)
+    return encode_varint(d)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions -> flat positions (len = tfs.sum())."""
+    d = decode_varint(buf)
+    if d.size == 0:
+        return d
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    c = np.cumsum(d, dtype=np.int64)
+    base = c[starts] - d[starts]  # running total before each doc
+    return c - np.repeat(base, tfs)
+
+
+def build_skips(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """Block-max skip metadata per SKIP_EVERY docs:
+    (last_doc, max_tf, min_dl) arrays. max_tf with min_dl upper-bounds the
+    BM25 term contribution of the chunk for any avgdl (tf-part increasing
+    in tf, decreasing in dl) — the Block-Max WAND bound."""
+    n = doc_ids.size
+    if n == 0:
+        return (np.empty(0, np.int64),) * 3
+    nchunks = (n + SKIP_EVERY - 1) // SKIP_EVERY
+    last = np.empty(nchunks, dtype=np.int64)
+    maxtf = np.empty(nchunks, dtype=np.int64)
+    mindl = np.empty(nchunks, dtype=np.int64)
+    for i in range(nchunks):
+        s, e = i * SKIP_EVERY, min((i + 1) * SKIP_EVERY, n)
+        last[i] = doc_ids[e - 1]
+        maxtf[i] = tfs[s:e].max()
+        mindl[i] = dls[s:e].min()
+    return last, maxtf, mindl

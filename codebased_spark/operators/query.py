@@ -1,0 +1,261 @@
+"""Index-backed query execution (operators Q1-Q7 of SURVEY.md §2.4).
+
+Per-block candidate generation runs inside one applyInPandas over the
+pruned posting rows; everything after (phrase df, idf, scoring, the
+reference's two-branch union/dedupe/top-k) is JVM-side DataFrame algebra.
+
+Physical plan per query:
+
+  postings (parquet, partitioned by pblock)
+    |  filter term IN <query trigrams>      <- pushed into the scan:
+    |                                          partition dirs stay pruned,
+    |                                          row-groups skip via min/max
+    |                                          stats (rows sorted by term)
+    |  groupBy(pblock).applyInPandas        <- positional intersection:
+    |                                          doc-list intersect (rarest
+    |                                          term first) then shifted
+    |                                          position-key intersect;
+    |                                          skip-decode when a required
+    |                                          trigram is absent in block
+    |  join doc_stats (doc_id -> dl)
+    |  agg phrase df -> idf (driver scalars, 2*|phrases| longs)
+    |  per-doc conjunction + BM25 sum       <- whole-stage codegen
+    |  name-branch/all-branch ORDER BY rank LIMIT k, union, groupBy,
+    |  final sort+limit                     <- TakeOrderedAndProject
+    (reference CTE: codebased/search.py:240-302)
+
+Exactness: identical scores to operators/score.py (brute force) and to
+SQLite FTS5 — phrase tf via consecutive-position intersection equals
+overlapping substring count; df/idf semantics per branch as probed in
+tests/test_fts5_semantics.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from codebased_spark import B, DEFAULT_TOP_K, K1
+from codebased_spark.functions.codec import decode_deltas, decode_positions, decode_varint
+from codebased_spark.functions.fts5 import idf as idf_fn
+from codebased_spark.functions.fts5 import phrase_terms, query_phrases
+
+CAND_SCHEMA = "doc_id long, phrase int, tf_all long, tf_name long"
+_POS_BITS = 32  # (local doc index << 32) | shifted position
+
+
+def _multi_slice(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather flat[starts[i] : starts[i]+lens[i]] for all i, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    rep_starts = np.repeat(starts, lens)
+    offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return flat[rep_starts + offs]
+
+
+class _Row:
+    """Lazily-decoded posting row for one (term, col) in one block."""
+
+    __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs")
+
+    def __init__(self, rec):
+        self.df = int(rec["df"])
+        self._raw = rec
+        self._docs = self._tfs = self._pos = self._offs = None
+
+    @property
+    def docs(self):
+        if self._docs is None:
+            self._docs = decode_deltas(self._raw["doc_bytes"])
+        return self._docs
+
+    @property
+    def tfs(self):
+        if self._tfs is None:
+            self._tfs = decode_varint(self._raw["tf_bytes"])
+        return self._tfs
+
+    @property
+    def pos(self):
+        if self._pos is None:
+            self._pos = decode_positions(self._raw["pos_bytes"], self.tfs)
+            self._offs = np.cumsum(self.tfs) - self.tfs
+        return self._pos
+
+    def positions_for(self, doc_subset: np.ndarray):
+        """(flat positions, lens) for the given (sorted) subset of docs."""
+        pos = self.pos
+        idx = np.searchsorted(self.docs, doc_subset)
+        lens = self.tfs[idx]
+        return _multi_slice(pos, self._offs[idx], lens), lens
+
+
+def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
+    """(doc_ids, tfs) of a phrase within one block+column, or None.
+
+    Exact FTS5 phrase matching: doc lists intersected rarest-first, then
+    positions shifted by term index and intersected — the count of common
+    start positions is the overlapping-substring tf."""
+    recs = []
+    for t in terms:
+        r = rows.get((t, col))
+        if r is None:
+            return None  # a required trigram is absent -> whole block skipped
+        recs.append(r)
+    if len(recs) == 1:
+        r = recs[0]
+        return r.docs, r.tfs
+    order = sorted(range(len(recs)), key=lambda i: recs[i].df)
+    common = recs[order[0]].docs
+    for i in order[1:]:
+        common = common[np.isin(common, recs[i].docs, assume_unique=True)]
+        if common.size == 0:
+            return None
+    keys = None
+    for i, r in enumerate(recs):
+        p, lens = r.positions_for(common)
+        didx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
+        shifted = p - i
+        ok = shifted >= 0
+        k = (didx[ok] << _POS_BITS) | shifted[ok]
+        keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+        if keys.size == 0:
+            return None
+    tf = np.bincount((keys >> _POS_BITS).astype(np.int64), minlength=common.size)
+    hit = tf > 0
+    return common[hit], tf[hit]
+
+
+def _candidates_fn(phrase_term_ids: list[list[int]]):
+    """applyInPandas over one block's posting rows -> candidate rows
+    (doc_id, phrase, tf_all, tf_name). A doc is a candidate for a phrase
+    iff the phrase occurs in ANY column (tf_all>0)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {
+            (int(r["term"]), int(r["col"])): _Row(r)
+            for _, r in pdf.iterrows()
+        }
+        frames = []
+        for pi, terms in enumerate(phrase_term_ids):
+            per_col = {}
+            for col in (0, 1, 2):
+                got = _phrase_block_tfs(rows, terms, col)
+                if got is not None:
+                    per_col[col] = got
+            if not per_col:
+                continue
+            all_docs = np.unique(np.concatenate([d for d, _ in per_col.values()]))
+            tf_all = np.zeros(all_docs.size, dtype=np.int64)
+            tf_name = np.zeros(all_docs.size, dtype=np.int64)
+            for col, (d, t) in per_col.items():
+                ix = np.searchsorted(all_docs, d)
+                tf_all[ix] += t
+                if col == 1:
+                    tf_name[ix] += t
+            frames.append(
+                pd.DataFrame(
+                    {"doc_id": all_docs, "phrase": pi, "tf_all": tf_all, "tf_name": tf_name}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"), "phrase": pd.array([], dtype="int32"),
+                 "tf_all": pd.array([], dtype="int64"), "tf_name": pd.array([], dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
+def _norm(tf_col, dl_col, avgdl):
+    tf = tf_col.cast("double")
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_col.cast("double") / F.lit(avgdl)))
+
+
+def search_index(
+    postings: DataFrame,
+    doc_dl: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Full two-branch FTS search over the posting index.
+
+    postings: the posting rows DataFrame (parquet-backed).
+    doc_dl:   (doc_id, dl) DataFrame (doc_stats projection).
+    Returns (doc_id, name_match, rank, score) best-first.
+    """
+    spark = postings.sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, name_match boolean, rank double, score double"
+    )
+    phrases = query_phrases(query)
+    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0:
+        return empty
+
+    term_ids = [phrase_terms(p) for p in phrases]
+    needed = sorted({t for ts in term_ids for t in ts})
+
+    pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
+    cand = (
+        pruned.groupBy("pblock")
+        .applyInPandas(_candidates_fn(term_ids), CAND_SCHEMA)
+        .join(doc_dl, "doc_id")
+    )
+    cand = cand.persist()
+    try:
+        n_ph = len(phrases)
+        dfs = {
+            int(r["phrase"]): (int(r["df_all"]), int(r["df_name"]))
+            for r in cand.groupBy("phrase")
+            .agg(
+                F.count(F.lit(1)).alias("df_all"),
+                F.sum((F.col("tf_name") > 0).cast("long")).alias("df_name"),
+            )
+            .collect()
+        }
+        if len(dfs) < n_ph:
+            return empty  # some phrase matches nothing anywhere -> AND fails
+        idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
+        idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
+
+        ia = F.element_at(F.array(*[F.lit(v) for v in idf_all]), F.col("phrase") + 1)
+        inm = F.element_at(F.array(*[F.lit(v) for v in idf_name]), F.col("phrase") + 1)
+
+        per_doc = cand.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum((F.col("tf_name") > 0).cast("long")).alias("n_name"),
+            F.sum(ia * _norm(F.col("tf_all"), F.col("dl"), avgdl)).alias("s_all"),
+            F.sum(inm * _norm(F.col("tf_name"), F.col("dl"), avgdl)).alias("s_name"),
+        )
+        per_doc = per_doc.persist()
+        name_b = (
+            per_doc.filter(F.col("n_name") == n_ph)
+            .select("doc_id", F.lit(True).alias("name_match"), (-F.col("s_name")).alias("rank"))
+            .orderBy(F.asc("rank"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+        all_b = (
+            per_doc.filter(F.col("n_matched") == n_ph)
+            .select("doc_id", F.lit(False).alias("name_match"), (-F.col("s_all")).alias("rank"))
+            .orderBy(F.asc("rank"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+        merged = (
+            name_b.unionAll(all_b)
+            .groupBy("doc_id")
+            .agg(F.max("name_match").alias("name_match"), F.min("rank").alias("rank"))
+            .orderBy(F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
+            .limit(top_k)
+            .withColumn("score", -F.col("rank"))
+        )
+        out = merged.localCheckpoint(eager=True)
+        per_doc.unpersist()
+    finally:
+        cand.unpersist()
+    return out

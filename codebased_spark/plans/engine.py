@@ -1,0 +1,177 @@
+"""Index lifecycle: build, persist, load, search (SURVEY.md §3.4).
+
+On-disk layout (<index_dir>/):
+  doc_stats/    parquet — per-doc metadata + lengths (no content)
+  postings/     parquet partitioned by pblock, rows sorted by (term, col)
+  corpus_stats/ parquet — single row (n_docs, avgdl, num_blocks, version)
+  _manifest/    one JSON per completed stage with lineage + metrics
+
+Resumability (north_rule): each stage commits atomically (parquet
+_SUCCESS + a manifest record written after). ``build_index(...,
+resume=True)`` skips stages whose manifest records exist, so a killed
+build re-runs only the missing stages; within a stage, partition-level
+retry/commit is Spark's task-commit protocol. Manifest records carry
+per-pblock row counts and byte sizes — the per-partition lineage +
+metrics record. (Reference analogue: single SQLite transaction + fts
+'optimize' at codebased/index.py:336,668-672; stats dump at
+codebased/stats.py:59-69.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebased_spark import DEFAULT_TOP_K, __version__
+from codebased_spark.operators.build import build_postings, tokenize_docs
+from codebased_spark.operators.docs import build_docs, corpus_stats
+
+FORMAT_VERSION = 1
+
+
+def _manifest_path(index_dir: str, stage: str) -> str:
+    return os.path.join(index_dir, "_manifest", f"{stage}.json")
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    return os.path.exists(_manifest_path(index_dir, stage))
+
+
+def _write_manifest(index_dir: str, stage: str, payload: dict) -> None:
+    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
+    tmp = _manifest_path(index_dir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir, stage))
+
+
+class FtsIndex:
+    """A loaded index: handles to the three tables + broadcast scalars."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.num_blocks = int(stats["num_blocks"])
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+
+    def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
+        """(doc_id, name_match, rank, score) best-first — rank-identical
+        to the reference's search_once full-text path."""
+        from codebased_spark.operators.query import search_index
+
+        return search_index(
+            self.postings,
+            self.doc_stats.select("doc_id", "dl"),
+            query,
+            self.n_docs,
+            self.avgdl,
+            top_k,
+        )
+
+    def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Q7: join survivors to doc metadata (broadcast the tiny top-k
+        side — reference joins object rows at codebased/search.py:278-296)."""
+        hits = self.search(query, top_k)
+        return (
+            self.doc_stats.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
+        )
+
+    def verify_against_corpus(self, hits: DataFrame, corpus: DataFrame) -> DataFrame:
+        """Q11 staleness filter: drop hits whose stored sha256 no longer
+        matches the current corpus content (search.py:440-442; the
+        input_hint end-to-end sha256 invariant)."""
+        current = corpus.select(
+            "repo", "path", F.sha2(F.col("content").cast("binary"), 256).alias("cur_sha"),
+        )
+        meta = self.doc_stats.join(F.broadcast(hits), "doc_id")
+        return (
+            meta.join(current, ["repo", "path"], "left")
+            .filter(F.col("cur_sha") == F.col("sha256"))
+            .drop("cur_sha")
+            .orderBy(F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
+        )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    num_blocks: int = 32,
+    chunk: bool = False,
+    resume: bool = False,
+) -> FtsIndex:
+    """Build (or resume building) the index from a corpus DataFrame."""
+    docs = None
+
+    def get_docs():
+        nonlocal docs
+        if docs is None:
+            docs = build_docs(corpus, num_blocks=num_blocks, chunk=chunk).persist()
+        return docs
+
+    if not (resume and _stage_done(index_dir, "doc_stats")):
+        d = get_docs()
+        d.drop("content").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "doc_stats")
+        )
+        per_block = {
+            str(r["pblock"]): int(r["n"])
+            for r in d.groupBy(F.shiftright("doc_id", 40).alias("pblock"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        _write_manifest(
+            index_dir, "doc_stats",
+            {"stage": "doc_stats", "version": FORMAT_VERSION,
+             "num_blocks": num_blocks, "docs_per_block": per_block},
+        )
+
+    if not (resume and _stage_done(index_dir, "postings")):
+        d = get_docs()
+        postings = build_postings(tokenize_docs(d))
+        postings.write.mode("overwrite").partitionBy("pblock").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        written = spark.read.parquet(os.path.join(index_dir, "postings"))
+        per_block = {
+            str(r["pblock"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
+            for r in written.groupBy("pblock")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    F.length("doc_bytes") + F.length("tf_bytes") + F.length("pos_bytes")
+                ).alias("bytes"),
+            )
+            .collect()
+        }
+        _write_manifest(
+            index_dir, "postings",
+            {"stage": "postings", "version": FORMAT_VERSION, "per_block": per_block},
+        )
+
+    if not (resume and _stage_done(index_dir, "corpus_stats")):
+        d = get_docs()
+        n, avgdl = corpus_stats(d)
+        spark.createDataFrame(
+            [(n, avgdl, num_blocks, FORMAT_VERSION)],
+            "n_docs long, avgdl double, num_blocks int, version int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "corpus_stats")
+        )
+        _write_manifest(
+            index_dir, "corpus_stats",
+            {"stage": "corpus_stats", "n_docs": n, "avgdl": avgdl,
+             "version": FORMAT_VERSION},
+        )
+
+    if docs is not None:
+        docs.unpersist()
+    return FtsIndex(spark, index_dir)

@@ -1,0 +1,129 @@
+"""M4: the posting-list index path must be rank-identical to BOTH the
+SQLite FTS5 oracle and the brute-force Spark path, on the reference
+query set — plus index determinism and resume behavior."""
+
+import glob
+import os
+
+import pytest
+
+from codebased_spark.operators.score import search_bruteforce
+from codebased_spark.oracle import Fts5Oracle
+from codebased_spark.plans.engine import build_index
+from codebased_spark.sources.corpus import ALL_FIXTURES, fixture_corpus, gen_corpus
+from tests.parity import assert_rank_identical, oracle_hits, spark_hits
+
+QUERIES = [
+    "Hello world",
+    "Server started",
+    "print('print(\"Hello world\");');",
+    'hello "world" how are you',
+    '"hello world" test "foo bar" baz',
+    '"this is a test"',
+    "express require",  # cross-column conjunction exercise
+    "code hello",       # phrases matching in *different* columns
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("idx") / "fixtures")
+    index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=4)
+    rows = index.doc_stats.select("doc_id", "path", "name").collect()
+    content = {
+        (r["repo"], r["path"]): r["content"]
+        for r in fixture_corpus(spark).collect()
+    }
+    full = index.doc_stats.select("doc_id", "repo", "path", "name").collect()
+    oracle = Fts5Oracle(
+        (r["doc_id"], r["path"], r["name"], content[(r["repo"], r["path"])])
+        for r in full
+    )
+    return index, oracle
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("top_k", [10, 32])
+def test_index_rank_identical_to_oracle(built, query, top_k):
+    index, oracle = built
+    ours = spark_hits(index.search(query, top_k))
+    ref = oracle_hits(oracle.search(query, top_k))
+    assert_rank_identical(ours, ref, top_k)
+
+
+@pytest.mark.parametrize("query", ["Hello world", "Server started", "code hello"])
+def test_index_matches_bruteforce_exactly(spark, built, query):
+    from codebased_spark.operators.docs import build_docs
+
+    index, _ = built
+    docs = build_docs(fixture_corpus(spark), num_blocks=4)
+    ours = spark_hits(index.search(query, 32))
+    brute = spark_hits(search_bruteforce(docs, query, 32, index.n_docs, index.avgdl))
+    assert [(d, n, round(s, 12)) for d, n, s in ours] == [
+        (d, n, round(s, 12)) for d, n, s in brute
+    ]
+
+
+def test_cross_column_and_matches_sqlite(built):
+    """FTS5 row-level AND: phrases may match in different columns
+    ('code' in path, 'hello' in content)."""
+    index, oracle = built
+    ref = oracle.search("code hello", 10)
+    assert len(ref) > 0  # the probe is only meaningful if something matches
+    ours = spark_hits(index.search("code hello", 10))
+    assert_rank_identical(ours, oracle_hits(ref), 10)
+
+
+def test_index_build_deterministic(spark, tmp_path):
+    """Two builds of the same corpus produce byte-identical posting
+    shards (SURVEY.md §5.3 item 6)."""
+    import hashlib
+
+    def digest(d):
+        h = hashlib.sha256()
+        files = sorted(glob.glob(os.path.join(d, "postings", "**", "*.parquet"), recursive=True))
+        assert files
+        rows = (
+            spark.read.parquet(os.path.join(d, "postings"))
+            .orderBy("pblock", "term", "col")
+            .select("pblock", "term", "col", "df", "doc_bytes", "tf_bytes", "pos_bytes")
+            .collect()
+        )
+        for r in rows:
+            h.update(repr((r["pblock"], r["term"], r["col"], r["df"])).encode())
+            h.update(bytes(r["doc_bytes"]))
+            h.update(bytes(r["tf_bytes"]))
+            h.update(bytes(r["pos_bytes"]))
+        return h.hexdigest(), len(rows)
+
+    corpus = gen_corpus(spark, n_repos=6, files_per_repo=4, seed=11)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, corpus, d1, num_blocks=4)
+    build_index(spark, corpus, d2, num_blocks=4)
+    assert digest(d1) == digest(d2)
+
+
+def test_resume_skips_completed_stages(spark, tmp_path):
+    idx_dir = str(tmp_path / "resume")
+    corpus = fixture_corpus(spark, ALL_FIXTURES)
+    build_index(spark, corpus, idx_dir, num_blocks=4)
+    # wipe one stage's manifest -> only that stage re-runs
+    os.remove(os.path.join(idx_dir, "_manifest", "corpus_stats.json"))
+    idx = build_index(spark, corpus, idx_dir, num_blocks=4, resume=True)
+    assert idx.n_docs == len(ALL_FIXTURES)
+    assert os.path.exists(os.path.join(idx_dir, "_manifest", "corpus_stats.json"))
+
+
+def test_manifest_lineage(spark, tmp_path):
+    import json
+
+    idx_dir = str(tmp_path / "lineage")
+    build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=4)
+    with open(os.path.join(idx_dir, "_manifest", "postings.json")) as f:
+        m = json.load(f)
+    assert m["stage"] == "postings"
+    assert sum(v["rows"] for v in m["per_block"].values()) > 0
+    with open(os.path.join(idx_dir, "_manifest", "doc_stats.json")) as f:
+        d = json.load(f)
+    assert sum(d["docs_per_block"].values()) == len(ALL_FIXTURES)
