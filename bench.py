@@ -1,0 +1,99 @@
+"""Headline benchmark: index-build throughput + query latency.
+
+Builds the full posting-list index over the sf corpus (driver documents
+table mapped to corpus shape + a 3x deterministic synthetic code corpus)
+and times the reference query shapes against it. Prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Scaling-efficiency evidence (north_rule N vs 4N) is produced by
+tools/scaling_bench.py and recorded in BASELINE.md / BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = {
+    "q1_common_words": "table merge",
+    "q2_rare_phrase": '"customer query"',
+    "q3_conjunctive3": "spark stream window",
+    "q4_clamped_common": "value",
+    "q5_code_hello": "hello world",
+    "q6_special_chars": "print('print(\"Hello world\");');",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from codebased_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from codebased_spark.plans.engine import build_index
+    from codebased_spark.sources.corpus import documents_as_corpus, gen_corpus
+
+    docs_corpus = documents_as_corpus(spark, sf_dir)
+    n_docs = docs_corpus.count()
+    synth = gen_corpus(spark, n_repos=max(1, (3 * n_docs) // 10), files_per_repo=10)
+    corpus = docs_corpus.unionByName(synth)
+
+    idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_sf{sf}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.time()
+    index = build_index(spark, corpus, idx_dir, num_blocks=cpus)
+    build_sec = time.time() - t0
+    n_files = index.n_docs  # file-level docs: 1 doc == 1 file
+
+    # warm the posting scan once so query timings measure the engine,
+    # not first-touch parquet footer reads
+    index.search("warmup query", 10).collect()
+
+    q_times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t = time.time()
+        index.search(q, 32).collect()
+        q_times[name] = round(time.time() - t, 3)
+
+    lat = sorted(q_times.values())
+    p50 = lat[len(lat) // 2]
+    total = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "files": n_files,
+                "build_sec": round(build_sec, 3),
+                "build_files_per_sec": round(n_files / build_sec, 1),
+                "p50_query_sec": p50,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines.
+
+Spark-first designs:
+- exact: hash-groupBy — one shuffle on a short digest, never on text.
+- n-gram Jaccard: distinct-trigram explode + semi-join against the probe
+  set — all built-ins, codegen'd; at corpus-vs-corpus scale the same
+  shape runs behind LSH blocking (below) to bound the pair space.
+- MinHash + LSH banding: signatures via universal hashing over trigram
+  codes (deterministic a_i, b_i), band-hash groupBy -> candidate pairs.
+  The band join is the classic shuffle-bounded near-dup at 10^12 scale:
+  pairs only materialize inside buckets.
+- SimHash: 64-bit sign-aggregated trigram hashes; Hamming-adjacent
+  bucket probing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Deterministic universal-hash parameters. Multipliers are 13-bit primes
+# so a*code < 2^13 * 2^49 = 2^62 never overflows int64 — keeping the
+# arithmetic identical in engines that promote (DuckDB -> HUGEINT) and
+# engines that wrap (Spark non-ANSI).
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+_A = [8191, 5381, 7919, 6151, 4093, 3571, 2861, 1777]
+_B = [2654435769, 2246822519, 3266489917, 668265263,
+      374761393, 2166136261, 40503, 65599]
+
+_TRI_SET = (
+    "array_distinct(transform(sequence(1, greatest(length(lc) - 2, 0)),"
+    " i -> ascii(substring(lc, i, 1)) * 4398046511104"
+    "    + ascii(substring(lc, i+1, 1)) * 2097152"
+    "    + ascii(substring(lc, i+2, 1))))"
+)
+
+
+def _with_trigram_codes(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.withColumn(
+        "lc", F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ).withColumn("tri_codes", F.expr(_TRI_SET))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest. Shuffles 16-byte digests,
+    not documents (at 100 TB this is the difference between a working
+    job and an OOM)."""
+    return (
+        docs.select("doc_id", F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def key_duplicates(docs: DataFrame, text_col: str = "text", n_words: int = 5) -> DataFrame:
+    """Near-exact dedup on a normalized prefix key (first n words,
+    casefolded) — the cheap first pass before MinHash."""
+    key = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " +"), 1, n_words)
+        )
+    )
+    return (
+        docs.select("doc_id", key.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_to_probe(docs: DataFrame, probe_doc_id: int, text_col: str = "text") -> DataFrame:
+    """Trigram-set Jaccard similarity of every doc against one probe doc.
+    Pure relational: explode distinct trigram codes, count intersection
+    via an equi-join with the (broadcast) probe set."""
+    coded = _with_trigram_codes(docs, text_col)
+    sizes = coded.select("doc_id", F.size("tri_codes").alias("set_size"))
+    tri = coded.select("doc_id", F.explode("tri_codes").alias("code"))
+    probe = tri.filter(F.col("doc_id") == probe_doc_id).select(
+        F.col("code").alias("pcode")
+    )
+    probe_size = coded.filter(F.col("doc_id") == probe_doc_id).select(
+        F.size("tri_codes").alias("probe_size")
+    )
+    inter = (
+        tri.join(F.broadcast(probe), tri.code == probe.pcode)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        sizes.join(inter, "doc_id", "left")
+        .fillna(0, ["inter"])
+        .crossJoin(F.broadcast(probe_size))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("set_size") + F.col("probe_size") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over trigram codes of
+    (a_i * code + b_i) mod (2^61-1). Deterministic, engine-portable
+    (unsigned-safe: constants are reduced mod p first)."""
+    assert n_hashes <= len(_A)
+    coded = _with_trigram_codes(docs, text_col)
+    sigs = [
+        F.expr(
+            f"array_min(transform(tri_codes, c -> "
+            f"(({_A[i]}L * c + {_B[i]}L) % {MINHASH_PRIME}L)))"
+        ).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return coded.select("doc_id", *sigs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> unordered candidate pairs.
+    Pairs only form within a band bucket (groupBy band_hash), so the
+    shuffle is O(docs · bands), not O(docs^2)."""
+    sigs = minhash_signatures(docs, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col(f"sig{b * band_size + j}") for j in range(band_size)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """61-bit SimHash over trigram codes: bit k of the hash is the sign
+    of sum over trigrams of (bit k of h(code) ? +1 : -1), h = one
+    universal hash. The per-bit tally is a dense 61-wide popcount — a
+    shape Catalyst's interpreted lambda algebra evaluates ~100x slower
+    than numpy, so this one runs as an Arrow-batched pandas UDF over the
+    (JVM-computed) trigram-code arrays."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = _A[0], _B[0]
+
+    def _simhash(codes):
+        shifts = np.arange(61, dtype=np.uint64)
+        out = np.zeros(len(codes), dtype=np.int64)
+        for i, arr in enumerate(codes):
+            c = np.asarray(arr, dtype=np.int64)
+            if c.size == 0:
+                continue
+            h = ((a * c + b) % MINHASH_PRIME).astype(np.uint64)
+            bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_tri, 61)
+            sums = 2 * bits.sum(axis=0, dtype=np.int64) - c.size
+            out[i] = int(((sums > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve for nested functions — set them directly.
+    _simhash.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    simhash_udf = F.pandas_udf(_simhash, "long")
+
+    coded = _with_trigram_codes(docs, text_col)
+    return coded.select("doc_id", simhash_udf(F.col("tri_codes")).alias("simhash"))

