@@ -51,14 +51,20 @@ def main() -> None:
 
     docs_corpus = documents_as_corpus(spark, sf_dir)
     n_docs = docs_corpus.count()
-    synth = gen_corpus(spark, n_repos=max(1, (3 * n_docs) // 10), files_per_repo=10)
+    # synthetic-corpus size is env-overridable so the scaling harness
+    # (tools/scaling_bench.py) can use a compute-dominated workload
+    synth_files = int(os.environ.get("SPARK_GRAFT_SYNTH_FILES", 3 * n_docs))
+    synth = gen_corpus(spark, n_repos=max(1, synth_files // 10), files_per_repo=10)
     corpus = docs_corpus.unionByName(synth)
 
     idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_sf{sf}")
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # num_blocks is intentionally FIXED (not cpus-derived): doc ids,
+    # shards, and scores are identical at any parallelism — scaling the
+    # cluster never changes results, only wall-clock.
     t0 = time.time()
-    index = build_index(spark, corpus, idx_dir, num_blocks=cpus)
+    index = build_index(spark, corpus, idx_dir, num_blocks=32)
     build_sec = time.time() - t0
     n_files = index.n_docs  # file-level docs: 1 doc == 1 file
 

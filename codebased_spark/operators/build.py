@@ -50,9 +50,12 @@ TOKEN_SCHEMA = (
     "pblock int, doc_id long, dl long, col int, term long, positions array<int>"
 )
 
+# dl_bytes inlines each posting doc's whole-row length (varint, aligned
+# with doc_bytes) so queries score without any doc_stats join — the
+# analogue of FTS5's %_docsize lookups, paid once at build time.
 POSTING_SCHEMA = (
     "pblock int, term long, col int, df long, "
-    "doc_bytes binary, tf_bytes binary, pos_bytes binary, "
+    "doc_bytes binary, tf_bytes binary, pos_bytes binary, dl_bytes binary, "
     "skip_last array<long>, skip_max_tf array<long>, skip_min_dl array<long>"
 )
 
@@ -114,11 +117,15 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
 def _encode_group(pblock, term, col, doc_ids, dls, pos_lists):
     tfs = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=len(pos_lists))
     flat = np.concatenate(pos_lists) if pos_lists else np.empty(0, np.int32)
+    return _encode_row(pblock, term, col, doc_ids, tfs, flat.astype(np.int64), dls)
+
+
+def _encode_row(pblock, term, col, doc_ids, tfs, flat_pos, dls):
     skip_last, skip_maxtf, skip_mindl = build_skips(doc_ids, tfs, dls)
     return (
         int(pblock), int(term), int(col), int(doc_ids.size),
         encode_deltas(doc_ids), encode_varint(tfs),
-        encode_positions(flat.astype(np.int64), tfs),
+        encode_positions(flat_pos, tfs), encode_varint(dls),
         skip_last.tolist(), skip_maxtf.tolist(), skip_mindl.tolist(),
     )
 
@@ -129,7 +136,7 @@ def _encode_batches(it):
     Groups can straddle Arrow batches, so the tail group of each batch is
     carried into the next."""
     cols = ["pblock", "term", "col", "df",
-            "doc_bytes", "tf_bytes", "pos_bytes",
+            "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
             "skip_last", "skip_max_tf", "skip_min_dl"]
     carry = None
 
@@ -178,4 +185,107 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     sort + aggregation — no shuffle (see module docstring)."""
     return tokens.sortWithinPartitions("pblock", "term", "col", "doc_id").mapInPandas(
         _encode_batches, POSTING_SCHEMA
+    )
+
+
+def _fused_batches(it):
+    """One-pass tokenize + postings-encode for a whole doc block.
+
+    Accumulates the partition's raw occurrence stream
+    (term, col, doc, pos) as flat numpy arrays, then one stable lexsort
+    by (term, col, doc) — positions stay ascending because they are
+    generated ascending — then run-length group encoding. Compared with
+    the two-stage path this skips an Arrow round-trip and a JVM external
+    sort over one row per posting entry; output is byte-identical.
+
+    Memory contract: a block's full occurrence stream lives in numpy
+    (~16 bytes/token). Executor sizing rule: choose num_blocks so
+    tokens_per_block * 16B fits comfortably in a task's memory
+    (e.g. <= 1e8 tokens/block ~ 1.6 GB). This explicit partition-sizing
+    knob is the build's scale contract (SURVEY.md §7.1 M5).
+    """
+    from codebased_spark.functions.fts5 import tokenize_packed
+
+    # bandwidth-lean accumulation: per token only (term:int64,
+    # packed (col,local_doc):int64, pos:int32). dl is per-DOC sideband,
+    # never replicated per token. The sandbox profiles memory-bandwidth
+    # bound on the sort, so every byte per token costs scaling.
+    terms_l, key_l, pos_l = [], [], []
+    doc_dl: dict[int, int] = {}
+    base_doc = None
+
+    for pdf in it:
+        for doc_id, dl, path, name, content in zip(
+            pdf["doc_id"].to_numpy(),
+            pdf["dl"].to_numpy(),
+            pdf["path"].to_numpy(),
+            pdf["name"].to_numpy(),
+            pdf["content"].to_numpy(),
+        ):
+            doc_id = int(doc_id)
+            if base_doc is None:
+                base_doc = doc_id & ~((1 << DOC_ID_BLOCK_BITS) - 1)
+            local = doc_id - base_doc
+            if not 0 <= local < (1 << DOC_ID_BLOCK_BITS):
+                raise ValueError("fused postings build saw multiple doc blocks")
+            doc_dl[local] = int(dl)
+            for col, text in enumerate((path, name, content)):
+                t = tokenize_packed(text)
+                if t.size == 0:
+                    continue
+                terms_l.append(t)
+                pos_l.append(np.arange(t.size, dtype=np.int32))
+                key_l.append(
+                    np.full(t.size, (col << DOC_ID_BLOCK_BITS) | local, dtype=np.int64)
+                )
+
+    if not terms_l:
+        return
+    terms = np.concatenate(terms_l)
+    keys = np.concatenate(key_l)
+    poss = np.concatenate(pos_l)
+    del terms_l, key_l, pos_l
+
+    order = np.lexsort((keys, terms))  # stable: pos stays ascending
+    terms, keys, poss = terms[order], keys[order], poss[order]
+    del order
+
+    pblock = base_doc >> DOC_ID_BLOCK_BITS
+    dl_arr = np.zeros(max(doc_dl) + 1, dtype=np.int64)
+    for loc, dl in doc_dl.items():
+        dl_arr[loc] = dl
+    change = np.flatnonzero((np.diff(terms) != 0) | (np.diff(keys >> DOC_ID_BLOCK_BITS) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [terms.size]))
+
+    out_cols = ["pblock", "term", "col", "df",
+                "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
+                "skip_last", "skip_max_tf", "skip_min_dl"]
+    rows = []
+    for s, e in zip(starts, ends):
+        k = keys[s:e]
+        dchange = np.flatnonzero(np.diff(k) != 0) + 1
+        dstarts = np.concatenate(([0], dchange))
+        locals_ = k[dstarts] & ((1 << DOC_ID_BLOCK_BITS) - 1)
+        doc_ids = locals_ + base_doc
+        tfs = np.diff(np.concatenate((dstarts, [k.size])))
+        rows.append(
+            _encode_row(
+                pblock, terms[s], int(keys[s]) >> DOC_ID_BLOCK_BITS,
+                doc_ids, tfs, poss[s:e], dl_arr[locals_],
+            )
+        )
+        if len(rows) >= 20000:
+            yield pd.DataFrame(rows, columns=out_cols)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=out_cols)
+
+
+def build_postings_fused(docs: DataFrame) -> DataFrame:
+    """docs -> posting rows in a single narrow mapInPandas (the
+    production build path; build_postings(tokenize_docs(...)) is the
+    two-stage cross-check, byte-identical by test)."""
+    return docs.select("doc_id", "dl", "path", "name", "content").mapInPandas(
+        _fused_batches, POSTING_SCHEMA
     )

@@ -17,7 +17,8 @@ Physical plan per query:
     |                                          position-key intersect;
     |                                          skip-decode when a required
     |                                          trigram is absent in block
-    |  join doc_stats (doc_id -> dl)
+    |                                          (dl inlined in posting rows
+    |                                          -> no doc_stats join)
     |  agg phrase df -> idf (driver scalars, 2*|phrases| longs)
     |  per-doc conjunction + BM25 sum       <- whole-stage codegen
     |  name-branch/all-branch ORDER BY rank LIMIT k, union, groupBy,
@@ -42,7 +43,7 @@ from codebased_spark.functions.codec import decode_deltas, decode_positions, dec
 from codebased_spark.functions.fts5 import idf as idf_fn
 from codebased_spark.functions.fts5 import phrase_terms, query_phrases
 
-CAND_SCHEMA = "doc_id long, phrase int, tf_all long, tf_name long"
+CAND_SCHEMA = "doc_id long, phrase int, tf_all long, tf_name long, dl long"
 _POS_BITS = 32  # (local doc index << 32) | shifted position
 
 
@@ -59,18 +60,24 @@ def _multi_slice(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
 class _Row:
     """Lazily-decoded posting row for one (term, col) in one block."""
 
-    __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs")
+    __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs", "_dls")
 
     def __init__(self, rec):
         self.df = int(rec["df"])
         self._raw = rec
-        self._docs = self._tfs = self._pos = self._offs = None
+        self._docs = self._tfs = self._pos = self._offs = self._dls = None
 
     @property
     def docs(self):
         if self._docs is None:
             self._docs = decode_deltas(self._raw["doc_bytes"])
         return self._docs
+
+    @property
+    def dls(self):
+        if self._dls is None:
+            self._dls = decode_varint(self._raw["dl_bytes"])
+        return self._dls
 
     @property
     def tfs(self):
@@ -94,11 +101,12 @@ class _Row:
 
 
 def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
-    """(doc_ids, tfs) of a phrase within one block+column, or None.
+    """(doc_ids, tfs, dls) of a phrase within one block+column, or None.
 
     Exact FTS5 phrase matching: doc lists intersected rarest-first, then
     positions shifted by term index and intersected — the count of common
-    start positions is the overlapping-substring tf."""
+    start positions is the overlapping-substring tf. dls ride along from
+    the posting rows (no doc_stats lookup needed)."""
     recs = []
     for t in terms:
         r = rows.get((t, col))
@@ -107,7 +115,7 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
         recs.append(r)
     if len(recs) == 1:
         r = recs[0]
-        return r.docs, r.tfs
+        return r.docs, r.tfs, r.dls
     order = sorted(range(len(recs)), key=lambda i: recs[i].df)
     common = recs[order[0]].docs
     for i in order[1:]:
@@ -126,7 +134,9 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
             return None
     tf = np.bincount((keys >> _POS_BITS).astype(np.int64), minlength=common.size)
     hit = tf > 0
-    return common[hit], tf[hit]
+    r0 = recs[0]
+    dls = r0.dls[np.searchsorted(r0.docs, common[hit])]
+    return common[hit], tf[hit], dls
 
 
 def _candidates_fn(phrase_term_ids: list[list[int]]):
@@ -148,23 +158,27 @@ def _candidates_fn(phrase_term_ids: list[list[int]]):
                     per_col[col] = got
             if not per_col:
                 continue
-            all_docs = np.unique(np.concatenate([d for d, _ in per_col.values()]))
+            all_docs = np.unique(np.concatenate([d for d, _, _ in per_col.values()]))
             tf_all = np.zeros(all_docs.size, dtype=np.int64)
             tf_name = np.zeros(all_docs.size, dtype=np.int64)
-            for col, (d, t) in per_col.items():
+            dl = np.zeros(all_docs.size, dtype=np.int64)
+            for col, (d, t, dlv) in per_col.items():
                 ix = np.searchsorted(all_docs, d)
                 tf_all[ix] += t
+                dl[ix] = dlv
                 if col == 1:
                     tf_name[ix] += t
             frames.append(
                 pd.DataFrame(
-                    {"doc_id": all_docs, "phrase": pi, "tf_all": tf_all, "tf_name": tf_name}
+                    {"doc_id": all_docs, "phrase": pi, "tf_all": tf_all,
+                     "tf_name": tf_name, "dl": dl}
                 )
             )
         if not frames:
             return pd.DataFrame(
                 {"doc_id": pd.array([], dtype="int64"), "phrase": pd.array([], dtype="int32"),
-                 "tf_all": pd.array([], dtype="int64"), "tf_name": pd.array([], dtype="int64")}
+                 "tf_all": pd.array([], dtype="int64"), "tf_name": pd.array([], dtype="int64"),
+                 "dl": pd.array([], dtype="int64")}
             )
         return pd.concat(frames, ignore_index=True)
 
@@ -178,7 +192,6 @@ def _norm(tf_col, dl_col, avgdl):
 
 def search_index(
     postings: DataFrame,
-    doc_dl: DataFrame,
     query: str,
     n_docs: int,
     avgdl: float,
@@ -186,8 +199,9 @@ def search_index(
 ) -> DataFrame:
     """Full two-branch FTS search over the posting index.
 
-    postings: the posting rows DataFrame (parquet-backed).
-    doc_dl:   (doc_id, dl) DataFrame (doc_stats projection).
+    postings: the posting rows DataFrame (parquet-backed). Candidate
+    rows carry dl straight from the posting blobs, so no doc-stats join
+    happens at query time (join-free scoring).
     Returns (doc_id, name_match, rank, score) best-first.
     """
     spark = postings.sparkSession
@@ -202,11 +216,7 @@ def search_index(
     needed = sorted({t for ts in term_ids for t in ts})
 
     pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
-    cand = (
-        pruned.groupBy("pblock")
-        .applyInPandas(_candidates_fn(term_ids), CAND_SCHEMA)
-        .join(doc_dl, "doc_id")
-    )
+    cand = pruned.groupBy("pblock").applyInPandas(_candidates_fn(term_ids), CAND_SCHEMA)
     cand = cand.persist()
     try:
         n_ph = len(phrases)

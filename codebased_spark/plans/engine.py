@@ -26,10 +26,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebased_spark import DEFAULT_TOP_K, __version__
-from codebased_spark.operators.build import build_postings, tokenize_docs
-from codebased_spark.operators.docs import build_docs, corpus_stats
+from codebased_spark.operators.build import build_postings_fused
+from codebased_spark.operators.docs import build_docs
 
 FORMAT_VERSION = 1
+
+
+def _postings_footer_metrics(postings_dir: str) -> dict:
+    """Per-block lineage metrics straight from parquet footers + the
+    filesystem — zero Spark jobs (driver-side, O(#files))."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(postings_dir):
+        base = os.path.basename(root)
+        if not base.startswith("pblock="):
+            continue
+        pb = base.split("=", 1)[1]
+        rows = 0
+        size = 0
+        for fn in files:
+            if fn.endswith(".parquet"):
+                full = os.path.join(root, fn)
+                rows += pq.ParquetFile(full).metadata.num_rows
+                size += os.path.getsize(full)
+        out[pb] = {"rows": rows, "bytes": size}
+    return out
 
 
 def _manifest_path(index_dir: str, stage: str) -> str:
@@ -66,14 +88,7 @@ class FtsIndex:
         to the reference's search_once full-text path."""
         from codebased_spark.operators.query import search_index
 
-        return search_index(
-            self.postings,
-            self.doc_stats.select("doc_id", "dl"),
-            query,
-            self.n_docs,
-            self.avgdl,
-            top_k,
-        )
+        return search_index(self.postings, query, self.n_docs, self.avgdl, top_k)
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Q7: join survivors to doc metadata (broadcast the tiny top-k
@@ -117,49 +132,37 @@ def build_index(
             docs = build_docs(corpus, num_blocks=num_blocks, chunk=chunk).persist()
         return docs
 
+    block_rows = None
+
+    def get_block_rows():
+        # one tiny agg yields BOTH the per-block lineage and the global
+        # corpus stats (N, avgdl) — computed at most once per build
+        nonlocal block_rows
+        if block_rows is None:
+            block_rows = (
+                get_docs()
+                .groupBy(F.shiftright("doc_id", 40).alias("pblock"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+                .collect()
+            )
+        return block_rows
+
     if not (resume and _stage_done(index_dir, "doc_stats")):
         d = get_docs()
         d.drop("content").write.mode("overwrite").parquet(
             os.path.join(index_dir, "doc_stats")
         )
-        per_block = {
-            str(r["pblock"]): int(r["n"])
-            for r in d.groupBy(F.shiftright("doc_id", 40).alias("pblock"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
         _write_manifest(
             index_dir, "doc_stats",
             {"stage": "doc_stats", "version": FORMAT_VERSION,
-             "num_blocks": num_blocks, "docs_per_block": per_block},
-        )
-
-    if not (resume and _stage_done(index_dir, "postings")):
-        d = get_docs()
-        postings = build_postings(tokenize_docs(d))
-        postings.write.mode("overwrite").partitionBy("pblock").parquet(
-            os.path.join(index_dir, "postings")
-        )
-        written = spark.read.parquet(os.path.join(index_dir, "postings"))
-        per_block = {
-            str(r["pblock"]): {"rows": int(r["rows"]), "bytes": int(r["bytes"])}
-            for r in written.groupBy("pblock")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(
-                    F.length("doc_bytes") + F.length("tf_bytes") + F.length("pos_bytes")
-                ).alias("bytes"),
-            )
-            .collect()
-        }
-        _write_manifest(
-            index_dir, "postings",
-            {"stage": "postings", "version": FORMAT_VERSION, "per_block": per_block},
+             "num_blocks": num_blocks,
+             "docs_per_block": {str(r["pblock"]): int(r["n"]) for r in get_block_rows()}},
         )
 
     if not (resume and _stage_done(index_dir, "corpus_stats")):
-        d = get_docs()
-        n, avgdl = corpus_stats(d)
+        rows = get_block_rows()
+        n = sum(int(r["n"]) for r in rows)
+        avgdl = (sum(int(r["sdl"]) for r in rows) / n) if n else 0.0
         spark.createDataFrame(
             [(n, avgdl, num_blocks, FORMAT_VERSION)],
             "n_docs long, avgdl double, num_blocks int, version int",
@@ -170,6 +173,17 @@ def build_index(
             index_dir, "corpus_stats",
             {"stage": "corpus_stats", "n_docs": n, "avgdl": avgdl,
              "version": FORMAT_VERSION},
+        )
+
+    if not (resume and _stage_done(index_dir, "postings")):
+        d = get_docs()
+        build_postings_fused(d).write.mode("overwrite").partitionBy("pblock").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        _write_manifest(
+            index_dir, "postings",
+            {"stage": "postings", "version": FORMAT_VERSION,
+             "per_block": _postings_footer_metrics(os.path.join(index_dir, "postings"))},
         )
 
     if docs is not None:

@@ -55,9 +55,16 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
         shuffle_partitions = os.cpu_count() if inner == "*" else max(int(inner), 4)
 
+    # local mode runs driver + executors in ONE JVM: the default 1g heap
+    # GC-thrashes as soon as many tasks run concurrently. Size the heap
+    # to the machine (override with SPARK_GRAFT_DRIVER_MEM).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -104,6 +104,33 @@ def test_index_build_deterministic(spark, tmp_path):
     assert digest(d1) == digest(d2)
 
 
+def test_fused_build_matches_two_stage(spark):
+    """build_postings_fused output is byte-identical to the two-stage
+    tokenize -> sort -> encode path."""
+    from codebased_spark.operators.build import (
+        build_postings,
+        build_postings_fused,
+        tokenize_docs,
+    )
+    from codebased_spark.operators.docs import build_docs
+
+    docs = build_docs(fixture_corpus(spark), num_blocks=4).persist()
+    try:
+        def key(rows):
+            return sorted(
+                (r["pblock"], r["term"], r["col"], r["df"], bytes(r["doc_bytes"]),
+                 bytes(r["tf_bytes"]), bytes(r["pos_bytes"]), bytes(r["dl_bytes"]),
+                 tuple(r["skip_last"]), tuple(r["skip_max_tf"]), tuple(r["skip_min_dl"]))
+                for r in rows
+            )
+
+        fused = key(build_postings_fused(docs).collect())
+        staged = key(build_postings(tokenize_docs(docs)).collect())
+        assert fused == staged and len(fused) > 0
+    finally:
+        docs.unpersist()
+
+
 def test_resume_skips_completed_stages(spark, tmp_path):
     idx_dir = str(tmp_path / "resume")
     corpus = fixture_corpus(spark, ALL_FIXTURES)
