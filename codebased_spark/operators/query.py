@@ -43,7 +43,6 @@ from codebased_spark.functions.codec import decode_deltas, decode_positions, dec
 from codebased_spark.functions.fts5 import idf as idf_fn
 from codebased_spark.functions.fts5 import phrase_terms, query_phrases
 
-CAND_SCHEMA = "doc_id long, phrase int, tf_all long, tf_name long, dl long"
 _POS_BITS = 32  # (local doc index << 32) | shifted position
 
 
@@ -140,16 +139,40 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
 
 
 def _candidates_fn(phrase_term_ids: list[list[int]]):
-    """applyInPandas over one block's posting rows -> candidate rows
-    (doc_id, phrase, tf_all, tf_name). A doc is a candidate for a phrase
-    iff the phrase occurs in ANY column (tf_all>0)."""
+    """applyInPandas over one block's posting rows.
+
+    Emits TWO row kinds (the conjunction and the per-doc aggregation are
+    pushed INTO the block task, so no doc-keyed shuffle ever happens):
+
+    - kind=0 (one per phrase): this block's contribution to the phrase's
+      document frequencies (df_all / df_name — counted over ALL docs
+      matching the phrase, before any conjunction, per FTS5 idf).
+    - kind=1 (one per SURVIVING doc): docs matching every phrase
+      (tf_all>0 for all), with per-phrase tf arrays + dl. The per-doc
+      BM25 sum happens later as a codegen'd projection; survivors of the
+      conjunction are typically a small fraction of per-phrase matches.
+    """
+    n_ph = len(phrase_term_ids)
+
+    def empty():
+        return pd.DataFrame(
+            {"kind": pd.array([], dtype="int32"),
+             "phrase": pd.array([], dtype="int32"),
+             "df_all": pd.array([], dtype="int64"),
+             "df_name": pd.array([], dtype="int64"),
+             "doc_id": pd.array([], dtype="int64"),
+             "dl": pd.array([], dtype="int64"),
+             "tfs_all": pd.Series([], dtype="object"),
+             "tfs_name": pd.Series([], dtype="object")}
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {
             (int(r["term"]), int(r["col"])): _Row(r)
             for _, r in pdf.iterrows()
         }
-        frames = []
+        stats = []
+        per_phrase = []  # (docs, tf_all, tf_name, dl) per phrase
         for pi, terms in enumerate(phrase_term_ids):
             per_col = {}
             for col in (0, 1, 2):
@@ -157,6 +180,7 @@ def _candidates_fn(phrase_term_ids: list[list[int]]):
                 if got is not None:
                     per_col[col] = got
             if not per_col:
+                per_phrase.append(None)
                 continue
             all_docs = np.unique(np.concatenate([d for d, _, _ in per_col.values()]))
             tf_all = np.zeros(all_docs.size, dtype=np.int64)
@@ -168,19 +192,79 @@ def _candidates_fn(phrase_term_ids: list[list[int]]):
                 dl[ix] = dlv
                 if col == 1:
                     tf_name[ix] += t
-            frames.append(
-                pd.DataFrame(
-                    {"doc_id": all_docs, "phrase": pi, "tf_all": tf_all,
-                     "tf_name": tf_name, "dl": dl}
+            stats.append((0, pi, int(all_docs.size), int((tf_name > 0).sum()),
+                          0, 0, None, None))
+            per_phrase.append((all_docs, tf_all, tf_name, dl))
+
+        frames = []
+        if stats:
+            frames.append(pd.DataFrame(
+                stats, columns=["kind", "phrase", "df_all", "df_name",
+                                "doc_id", "dl", "tfs_all", "tfs_name"]))
+
+        if all(p is not None for p in per_phrase) and n_ph:
+            # conjunction inside the block: docs present in EVERY phrase
+            common = per_phrase[0][0]
+            for p in per_phrase[1:]:
+                common = common[np.isin(common, p[0], assume_unique=True)]
+                if common.size == 0:
+                    break
+            if common.size:
+                tfs_all = np.empty((common.size, n_ph), dtype=np.int64)
+                tfs_name = np.empty((common.size, n_ph), dtype=np.int64)
+                dl = None
+                for i, (docs, ta, tn, dlv) in enumerate(per_phrase):
+                    ix = np.searchsorted(docs, common)
+                    tfs_all[:, i] = ta[ix]
+                    tfs_name[:, i] = tn[ix]
+                    if dl is None:
+                        dl = dlv[ix]
+                frames.append(pd.DataFrame(
+                    {"kind": 1, "phrase": -1,
+                     "df_all": 0, "df_name": 0,
+                     "doc_id": common, "dl": dl,
+                     "tfs_all": list(tfs_all),
+                     "tfs_name": list(tfs_name)}
+                ))
+        return pd.concat(frames, ignore_index=True) if frames else empty()
+
+    return fn
+
+
+CAND2_SCHEMA = (
+    "kind int, phrase int, df_all long, df_name long, "
+    "doc_id long, dl long, tfs_all array<long>, tfs_name array<long>"
+)
+
+_POSTING_READ_COLUMNS = [
+    "term", "col", "df", "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
+]
+
+
+def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int]):
+    """mapInPandas over rows of (pblock, path): a pyarrow-native posting
+    scan. Spark's vectorized parquet reader must decode a whole row
+    group of the (large) blob columns before filtering; pyarrow's C++
+    reader with a term filter + column selection is ~5-10x cheaper per
+    query, and each task reads only its own block's shard files — the
+    custom-scan escape hatch the DataFrame API can't express."""
+    inner = _candidates_fn(phrase_term_ids)
+
+    def fn(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            for pblock, path in zip(pdf["pblock"], pdf["path"]):
+                tbl = pq.read_table(
+                    path,
+                    filters=[("term", "in", list(needed))],
+                    columns=_POSTING_READ_COLUMNS,
                 )
-            )
-        if not frames:
-            return pd.DataFrame(
-                {"doc_id": pd.array([], dtype="int64"), "phrase": pd.array([], dtype="int32"),
-                 "tf_all": pd.array([], dtype="int64"), "tf_name": pd.array([], dtype="int64"),
-                 "dl": pd.array([], dtype="int64")}
-            )
-        return pd.concat(frames, ignore_index=True)
+                if tbl.num_rows == 0:
+                    continue
+                out = inner(tbl.to_pandas())
+                if len(out):
+                    yield out
 
     return fn
 
@@ -216,17 +300,45 @@ def search_index(
     needed = sorted({t for ts in term_ids for t in ts})
 
     pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
-    cand = pruned.groupBy("pblock").applyInPandas(_candidates_fn(term_ids), CAND_SCHEMA)
+    cand = pruned.groupBy("pblock").applyInPandas(_candidates_fn(term_ids), CAND2_SCHEMA)
+    return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
+
+
+def search_index_files(
+    spark,
+    posting_files: list[tuple[int, str]],
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Like search_index, but candidates come from the pyarrow custom
+    scan over (pblock, file) rows — the low-latency path FtsIndex uses."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, name_match boolean, rank double, score double"
+    )
+    phrases = query_phrases(query)
+    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0 or not posting_files:
+        return empty
+    term_ids = [phrase_terms(p) for p in phrases]
+    needed = sorted({int(t) for ts in term_ids for t in ts})
+
+    files_df = spark.createDataFrame(posting_files, "pblock int, path string")
+    n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
+    cand = files_df.repartition(n_part).mapInPandas(
+        _file_candidates_fn(term_ids, needed), CAND2_SCHEMA
+    )
+    return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
+
+
+def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
     cand = cand.persist()
     try:
-        n_ph = len(phrases)
         dfs = {
-            int(r["phrase"]): (int(r["df_all"]), int(r["df_name"]))
-            for r in cand.groupBy("phrase")
-            .agg(
-                F.count(F.lit(1)).alias("df_all"),
-                F.sum((F.col("tf_name") > 0).cast("long")).alias("df_name"),
-            )
+            int(r["phrase"]): (int(r["sa"]), int(r["sn"]))
+            for r in cand.filter(F.col("kind") == 0)
+            .groupBy("phrase")
+            .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
             .collect()
         }
         if len(dfs) < n_ph:
@@ -234,25 +346,23 @@ def search_index(
         idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
         idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
 
-        ia = F.element_at(F.array(*[F.lit(v) for v in idf_all]), F.col("phrase") + 1)
-        inm = F.element_at(F.array(*[F.lit(v) for v in idf_name]), F.col("phrase") + 1)
+        def score_expr(tf_col, idfs):
+            s = F.lit(0.0)
+            for i, w in enumerate(idfs):
+                s = s + F.lit(w) * _norm(F.col(tf_col)[i], F.col("dl"), avgdl)
+            return s
 
-        per_doc = cand.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.sum((F.col("tf_name") > 0).cast("long")).alias("n_name"),
-            F.sum(ia * _norm(F.col("tf_all"), F.col("dl"), avgdl)).alias("s_all"),
-            F.sum(inm * _norm(F.col("tf_name"), F.col("dl"), avgdl)).alias("s_name"),
-        )
-        per_doc = per_doc.persist()
-        name_b = (
-            per_doc.filter(F.col("n_name") == n_ph)
-            .select("doc_id", F.lit(True).alias("name_match"), (-F.col("s_name")).alias("rank"))
+        docs_r = cand.filter(F.col("kind") == 1)
+        all_b = (
+            docs_r.select("doc_id", F.lit(False).alias("name_match"),
+                          (-score_expr("tfs_all", idf_all)).alias("rank"))
             .orderBy(F.asc("rank"), F.asc("doc_id"))
             .limit(top_k)
         )
-        all_b = (
-            per_doc.filter(F.col("n_matched") == n_ph)
-            .select("doc_id", F.lit(False).alias("name_match"), (-F.col("s_all")).alias("rank"))
+        name_b = (
+            docs_r.filter(F.forall(F.col("tfs_name"), lambda x: x > 0))
+            .select("doc_id", F.lit(True).alias("name_match"),
+                    (-score_expr("tfs_name", idf_name)).alias("rank"))
             .orderBy(F.asc("rank"), F.asc("doc_id"))
             .limit(top_k)
         )
@@ -265,7 +375,6 @@ def search_index(
             .withColumn("score", -F.col("rank"))
         )
         out = merged.localCheckpoint(eager=True)
-        per_doc.unpersist()
     finally:
         cand.unpersist()
     return out

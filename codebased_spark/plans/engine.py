@@ -82,12 +82,33 @@ class FtsIndex:
         self.num_blocks = int(stats["num_blocks"])
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.posting_files = self._list_posting_files()
+
+    def _list_posting_files(self) -> list[tuple[int, str]]:
+        out = []
+        base = os.path.join(self.index_dir, "postings")
+        for root, _dirs, files in os.walk(base):
+            b = os.path.basename(root)
+            if b.startswith("pblock="):
+                pb = int(b.split("=", 1)[1])
+                out.extend(
+                    (pb, os.path.join(root, f))
+                    for f in sorted(files)
+                    if f.endswith(".parquet")
+                )
+        return sorted(out)
 
     def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """(doc_id, name_match, rank, score) best-first — rank-identical
-        to the reference's search_once full-text path."""
-        from codebased_spark.operators.query import search_index
+        to the reference's search_once full-text path. Uses the pyarrow
+        shard scan when the shard files are directly readable, else the
+        generic DataFrame scan (same results by test)."""
+        from codebased_spark.operators.query import search_index, search_index_files
 
+        if self.posting_files:
+            return search_index_files(
+                self.spark, self.posting_files, query, self.n_docs, self.avgdl, top_k
+            )
         return search_index(self.postings, query, self.n_docs, self.avgdl, top_k)
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:

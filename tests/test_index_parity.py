@@ -104,6 +104,23 @@ def test_index_build_deterministic(spark, tmp_path):
     assert digest(d1) == digest(d2)
 
 
+@pytest.mark.parametrize("query", ["Hello world", "Server started", "code hello"])
+def test_file_scan_path_matches_df_path(spark, built, query):
+    """The pyarrow shard-scan search must equal the generic DataFrame
+    scan bit-for-bit."""
+    from codebased_spark.operators.query import search_index
+
+    index, _ = built
+    assert index.posting_files
+    fast = spark_hits(index.search(query, 32))
+    generic = spark_hits(
+        search_index(index.postings, query, index.n_docs, index.avgdl, 32)
+    )
+    assert [(d, n, round(s, 12)) for d, n, s in fast] == [
+        (d, n, round(s, 12)) for d, n, s in generic
+    ]
+
+
 def test_fused_build_matches_two_stage(spark):
     """build_postings_fused output is byte-identical to the two-stage
     tokenize -> sort -> encode path."""
