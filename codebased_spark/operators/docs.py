@@ -63,7 +63,7 @@ def with_doc_lengths(docs: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(docs: DataFrame, num_blocks: int = 32) -> DataFrame:
+def assign_doc_ids(docs: DataFrame, num_blocks: int = 32, block_offset: int = 0) -> DataFrame:
     """Deterministic, shuffle-cheap doc ids: hash-repartition on
     (repo, path), sort within partitions by the natural key, then
     ``doc_id = (partition_id << 40) | local_index`` via mapInPandas.
@@ -88,7 +88,7 @@ def assign_doc_ids(docs: DataFrame, num_blocks: int = 32) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
+            pid = int(pdf["_pid"].iloc[0]) + block_offset
             ids = (pid << DOC_ID_BLOCK_BITS) + local + pd.RangeIndex(len(pdf))
             local += len(pdf)
             out = pdf.drop(columns=["_pid"])
@@ -98,16 +98,20 @@ def assign_doc_ids(docs: DataFrame, num_blocks: int = 32) -> DataFrame:
     return parted.mapInPandas(add_ids, out_schema)
 
 
-def build_docs(corpus: DataFrame, num_blocks: int = 32, chunk: bool = False) -> DataFrame:
+def build_docs(
+    corpus: DataFrame, num_blocks: int = 32, chunk: bool = False, block_offset: int = 0
+) -> DataFrame:
     """corpus -> docs with ids and lengths. ``chunk=True`` adds per-object
-    documents via the code chunker (operators/chunker.py)."""
+    documents via the code chunker (operators/chunker.py). ``block_offset``
+    places the docs in fresh blocks above an existing index's blocks
+    (incremental appends)."""
     if chunk:
         from codebased_spark.operators.chunker import chunk_objects
 
         d = chunk_objects(corpus)
     else:
         d = file_docs(corpus)
-    return assign_doc_ids(with_doc_lengths(d), num_blocks)
+    return assign_doc_ids(with_doc_lengths(d), num_blocks, block_offset)
 
 
 def corpus_stats(docs: DataFrame) -> tuple[int, float]:

@@ -138,7 +138,7 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
     return common[hit], tf[hit], dls
 
 
-def _candidates_fn(phrase_term_ids: list[list[int]]):
+def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
     """applyInPandas over one block's posting rows.
 
     Emits TWO row kinds (the conjunction and the per-doc aggregation are
@@ -192,6 +192,14 @@ def _candidates_fn(phrase_term_ids: list[list[int]]):
                 dl[ix] = dlv
                 if col == 1:
                     tf_name[ix] += t
+            if deleted is not None and deleted.size:
+                live = ~np.isin(all_docs, deleted, assume_unique=True)
+                all_docs, tf_all, tf_name, dl = (
+                    all_docs[live], tf_all[live], tf_name[live], dl[live]
+                )
+                if all_docs.size == 0:
+                    per_phrase.append(None)
+                    continue
             stats.append((0, pi, int(all_docs.size), int((tf_name > 0).sum()),
                           0, 0, None, None))
             per_phrase.append((all_docs, tf_all, tf_name, dl))
@@ -241,14 +249,15 @@ _POSTING_READ_COLUMNS = [
 ]
 
 
-def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int]):
+def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
+                        deleted=None):
     """mapInPandas over rows of (pblock, path): a pyarrow-native posting
     scan. Spark's vectorized parquet reader must decode a whole row
     group of the (large) blob columns before filtering; pyarrow's C++
     reader with a term filter + column selection is ~5-10x cheaper per
     query, and each task reads only its own block's shard files — the
     custom-scan escape hatch the DataFrame API can't express."""
-    inner = _candidates_fn(phrase_term_ids)
+    inner = _candidates_fn(phrase_term_ids, deleted)
 
     def fn(it):
         import pyarrow.parquet as pq
@@ -280,6 +289,7 @@ def search_index(
     n_docs: int,
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
+    deleted=None,
 ) -> DataFrame:
     """Full two-branch FTS search over the posting index.
 
@@ -300,7 +310,9 @@ def search_index(
     needed = sorted({t for ts in term_ids for t in ts})
 
     pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
-    cand = pruned.groupBy("pblock").applyInPandas(_candidates_fn(term_ids), CAND2_SCHEMA)
+    cand = pruned.groupBy("pblock").applyInPandas(
+        _candidates_fn(term_ids, deleted), CAND2_SCHEMA
+    )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 
 
@@ -311,6 +323,7 @@ def search_index_files(
     n_docs: int,
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
+    deleted=None,
 ) -> DataFrame:
     """Like search_index, but candidates come from the pyarrow custom
     scan over (pblock, file) rows — the low-latency path FtsIndex uses."""
@@ -326,7 +339,7 @@ def search_index_files(
     files_df = spark.createDataFrame(posting_files, "pblock int, path string")
     n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
     cand = files_df.repartition(n_part).mapInPandas(
-        _file_candidates_fn(term_ids, needed), CAND2_SCHEMA
+        _file_candidates_fn(term_ids, needed, deleted), CAND2_SCHEMA
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 

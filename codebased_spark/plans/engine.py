@@ -79,10 +79,27 @@ class FtsIndex:
         stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        d = stats.asDict()
+        self.total_dl = int(d.get("total_dl", round(self.avgdl * self.n_docs)))
         self.num_blocks = int(stats["num_blocks"])
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.posting_files = self._list_posting_files()
+        self.deleted = self._load_deleted()
+
+    def _load_deleted(self):
+        """Tombstoned doc_ids from incremental updates (sorted int64
+        array, None when absent). Applied inside the candidate scan so
+        deleted docs affect neither matches nor df/idf."""
+        import numpy as np
+
+        d = os.path.join(self.index_dir, "deletes")
+        if not os.path.isdir(d):
+            return None
+        arr = (
+            self.spark.read.parquet(d).select("doc_id").toPandas()["doc_id"].to_numpy()
+        )
+        return np.unique(arr.astype("int64")) if arr.size else None
 
     def _list_posting_files(self) -> list[tuple[int, str]]:
         out = []
@@ -107,9 +124,12 @@ class FtsIndex:
 
         if self.posting_files:
             return search_index_files(
-                self.spark, self.posting_files, query, self.n_docs, self.avgdl, top_k
+                self.spark, self.posting_files, query, self.n_docs, self.avgdl,
+                top_k, deleted=self.deleted,
             )
-        return search_index(self.postings, query, self.n_docs, self.avgdl, top_k)
+        return search_index(
+            self.postings, query, self.n_docs, self.avgdl, top_k, deleted=self.deleted
+        )
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Q7: join survivors to doc metadata (broadcast the tiny top-k
@@ -183,10 +203,11 @@ def build_index(
     if not (resume and _stage_done(index_dir, "corpus_stats")):
         rows = get_block_rows()
         n = sum(int(r["n"]) for r in rows)
-        avgdl = (sum(int(r["sdl"]) for r in rows) / n) if n else 0.0
+        total_dl = sum(int(r["sdl"]) for r in rows)
+        avgdl = (total_dl / n) if n else 0.0
         spark.createDataFrame(
-            [(n, avgdl, num_blocks, FORMAT_VERSION)],
-            "n_docs long, avgdl double, num_blocks int, version int",
+            [(n, avgdl, total_dl, num_blocks, FORMAT_VERSION)],
+            "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(index_dir, "corpus_stats")
         )

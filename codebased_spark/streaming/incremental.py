@@ -1,0 +1,186 @@
+"""Incremental index maintenance (operators S6/S7/S11 + SURVEY.md §3.3).
+
+Mirrors the reference's semantics on Spark's storage model:
+
+- change detection (S6): a new corpus snapshot/batch is anti-joined
+  against the stored doc metadata on (repo, path, sha256) — the sha256
+  gate of codebased/index.py:457-458. Unchanged files cost nothing.
+- upsert (S7): changed/new files are chunked, tokenized, and written as
+  FRESH doc blocks (block ids above every existing block) — posting
+  shards are immutable, append-only, like FTS5/Lucene segments.
+- delete cascade (S11): superseded and removed docs become tombstones
+  in ``deletes/``; queries apply them inside the candidate scan, so
+  dead docs affect neither matches nor df/idf. The reference's
+  delete-not-visited sweep (codebased/index.py:673-699) is the
+  ``full_snapshot=True`` mode; per-batch updates only supersede the
+  paths present in the batch, exactly like the background worker's
+  scoped re-index (index.py:332-334).
+- stats: N/avgdl are maintained exactly from (old totals - tombstoned
+  + appended) — FTS5's 'averages' row update.
+- compaction (the fts 'optimize' analogue, index.py:670): rebuilding
+  tombstone-heavy blocks needs the corpus content and is a full-build
+  over live paths; ``tombstone_ratio`` tells operators when it's due.
+
+The Structured Streaming wrapper feeds micro-batches of changed corpus
+rows through the same batch function via foreachBatch — the Spark
+analogue of the reference's watchdog debounce loop
+(codebased/background_worker.py:25-52).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebased_spark.operators.build import build_postings_fused
+from codebased_spark.operators.docs import build_docs
+from codebased_spark.plans.engine import (
+    FORMAT_VERSION,
+    FtsIndex,
+    _postings_footer_metrics,
+    _write_manifest,
+)
+
+
+def incremental_update(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_batch: DataFrame,
+    chunk: bool = False,
+    full_snapshot: bool = False,
+    num_blocks: int | None = None,
+) -> FtsIndex:
+    """Apply a corpus batch to an existing index. Returns the reloaded
+    index. ``full_snapshot=True`` additionally tombstones every stored
+    path that is absent from the batch (delete-not-visited)."""
+    idx = FtsIndex(spark, index_dir)
+    old = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
+    # the sha gate and the delete sweep must see LIVE docs only: stale
+    # doc_stats rows (already tombstoned) would otherwise both mask real
+    # changes (old sha resurfacing) and double-count deletions
+    if idx.deleted is not None and idx.deleted.size:
+        tomb = spark.createDataFrame([(int(x),) for x in idx.deleted], "doc_id long")
+        old = old.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    new_files = corpus_batch.select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2(F.col("content").cast("binary"), 256).alias("sha256"),
+    ).persist()
+    try:
+        # S6: the sha gate — rows whose (repo, path, sha256) already
+        # exist are untouched (their docs stay live)
+        changed = new_files.join(
+            old.select("repo", "path", "sha256").distinct(),
+            ["repo", "path", "sha256"],
+            "left_anti",
+        ).drop("sha256")
+
+        # S11: docs superseded by a changed file, plus (full snapshot
+        # only) docs whose path disappeared
+        if full_snapshot:
+            dead = old.join(
+                new_files.select("repo", "path", "sha256"),
+                ["repo", "path", "sha256"],
+                "left_anti",
+            )
+        else:
+            dead = old.join(
+                changed.select("repo", "path").distinct(), ["repo", "path"], "left_semi"
+            )
+        # Cut lineage BEFORE mutating the index tables: both plans read
+        # doc_stats, and writing to that path invalidates dependent
+        # caches (refreshByPath), which would silently recompute them
+        # against the half-updated table. localCheckpoint materializes
+        # and truncates the dependency.
+        dead = dead.localCheckpoint(eager=True)
+
+        dead_agg = dead.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")
+        ).collect()[0]
+        n_dead, dl_dead = int(dead_agg["n"]), int(dead_agg["sdl"])
+
+        # S7/S8: fresh blocks strictly above all existing ones
+        n_blocks = num_blocks or idx.num_blocks
+        offset = (max(pb for pb, _ in idx.posting_files) + 1) if idx.posting_files else 0
+        new_docs = build_docs(
+            changed, num_blocks=n_blocks, chunk=chunk, block_offset=offset
+        ).localCheckpoint(eager=True)
+
+        add_agg = new_docs.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")
+        ).collect()[0]
+        n_add, dl_add = int(add_agg["n"]), int(add_agg["sdl"])
+
+        if n_add:
+            new_docs.drop("content").write.mode("append").parquet(
+                os.path.join(index_dir, "doc_stats")
+            )
+            build_postings_fused(new_docs).write.mode("append").partitionBy(
+                "pblock"
+            ).parquet(os.path.join(index_dir, "postings"))
+        if n_dead:
+            dead.select("doc_id").write.mode("append").parquet(
+                os.path.join(index_dir, "deletes")
+            )
+
+        n_docs = idx.n_docs - n_dead + n_add
+        total_dl = idx.total_dl - dl_dead + dl_add
+        avgdl = (total_dl / n_docs) if n_docs else 0.0
+        spark.createDataFrame(
+            [(n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION)],
+            "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "corpus_stats")
+        )
+        epoch = len(
+            [f for f in os.listdir(os.path.join(index_dir, "_manifest"))
+             if f.startswith("incr_")]
+        )
+        _write_manifest(
+            index_dir, f"incr_{epoch}",
+            {"stage": f"incr_{epoch}", "version": FORMAT_VERSION,
+             "docs_added": n_add, "docs_tombstoned": n_dead,
+             "full_snapshot": full_snapshot,
+             "per_block": _postings_footer_metrics(os.path.join(index_dir, "postings"))},
+        )
+    finally:
+        new_files.unpersist()
+    return FtsIndex(spark, index_dir)
+
+
+def tombstone_ratio(index: FtsIndex) -> float:
+    """Fraction of stored docs that are tombstoned — the compaction
+    trigger (the FTS5 'optimize' analogue is a rebuild of live paths)."""
+    stored = index.doc_stats.count()
+    dead = 0 if index.deleted is None else int(index.deleted.size)
+    return dead / stored if stored else 0.0
+
+
+def stream_corpus_updates(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_stream: DataFrame,
+    checkpoint_dir: str,
+    chunk: bool = False,
+    trigger_seconds: float | None = None,
+):
+    """Structured Streaming wrapper: every micro-batch of corpus rows
+    (changed files) is folded into the index via foreachBatch — the
+    Spark analogue of the reference's 0.1 s-debounced watchdog loop.
+    Returns the StreamingQuery (caller stops it)."""
+
+    def fold(batch_df: DataFrame, _epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        incremental_update(spark, index_dir, batch_df, chunk=chunk)
+
+    w = (
+        corpus_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+    )
+    if trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

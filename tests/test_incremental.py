@@ -1,0 +1,139 @@
+"""Incremental maintenance (S6/S7/S11): after updates the index must be
+semantically identical to a fresh FTS index of the current corpus —
+verified against a fresh SQLite FTS5 oracle over the live docs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from codebased_spark.oracle import Fts5Oracle
+from codebased_spark.plans.engine import build_index
+from codebased_spark.sources.corpus import CORPUS_SCHEMA, fixture_corpus
+from codebased_spark.streaming.incremental import (
+    incremental_update,
+    stream_corpus_updates,
+    tombstone_ratio,
+)
+from tests.parity import assert_rank_identical, oracle_hits, spark_hits
+
+V1 = [
+    ("r1", "a.py", "c" * 40, "python", 'print("Hello, world!")'),
+    ("r1", "b.md", "c" * 40, "text", "Hello, world!"),
+    ("r1", "srv.js", "c" * 40, "javascript", 'console.log("Server started");'),
+    ("r1", "gone.py", "c" * 40, "python", "X = 1  # hello"),
+]
+# v2: a.py modified, b.md unchanged, srv.js unchanged, gone.py removed, new.go added
+V2 = [
+    ("r1", "a.py", "d" * 40, "python", 'print("Hello there, world!")\nY = 2'),
+    ("r1", "b.md", "c" * 40, "text", "Hello, world!"),
+    ("r1", "srv.js", "c" * 40, "javascript", 'console.log("Server started");'),
+    ("r1", "new.go", "d" * 40, "go", 'func main() { println("hello world") }'),
+]
+
+QUERIES = ["Hello world", "Server started", "hello", "main"]
+
+
+def _live_docs(spark, index, corpus_rows):
+    """The index's live docs (tombstones applied) with content pulled
+    from the corpus rows — input for a fresh FTS5 oracle."""
+    content = {(r[0], r[1]): r[4] for r in corpus_rows}
+    docs = index.doc_stats.select("doc_id", "repo", "path", "name").collect()
+    dead = set() if index.deleted is None else set(int(x) for x in index.deleted)
+    out = []
+    for r in docs:
+        if int(r["doc_id"]) in dead:
+            continue
+        out.append((int(r["doc_id"]), r["path"], r["name"], content[(r["repo"], r["path"])]))
+    return out
+
+
+def test_incremental_matches_fresh_oracle(spark, tmp_path):
+    idx_dir = str(tmp_path / "inc")
+    v1 = spark.createDataFrame(V1, CORPUS_SCHEMA)
+    v2 = spark.createDataFrame(V2, CORPUS_SCHEMA)
+
+    build_index(spark, v1, idx_dir, num_blocks=2)
+    index = incremental_update(
+        spark, idx_dir, v2, full_snapshot=True, num_blocks=2
+    )
+
+    assert index.n_docs == 4  # a.py(new), b.md, srv.js, new.go
+    assert index.deleted is not None and index.deleted.size == 2  # old a.py + gone.py
+
+    live = _live_docs(spark, index, V2)
+    assert len(live) == 4
+    oracle = Fts5Oracle(live)
+    for q in QUERIES:
+        for k in (10, 32):
+            ours = spark_hits(index.search(q, k))
+            ref = oracle_hits(oracle.search(q, k))
+            assert_rank_identical(ours, ref, k)
+
+    # avgdl/N maintained exactly (FTS5 'averages' semantics)
+    dls = {
+        (r["repo"], r["path"]): int(r["dl"])
+        for r in index.doc_stats.collect()
+        if index.deleted is None or int(r["doc_id"]) not in set(map(int, index.deleted))
+    }
+    assert index.total_dl == sum(dls.values())
+    assert index.n_docs == len(dls)
+
+
+def test_incremental_noop_when_unchanged(spark, tmp_path):
+    idx_dir = str(tmp_path / "noop")
+    v1 = spark.createDataFrame(V1, CORPUS_SCHEMA)
+    build_index(spark, v1, idx_dir, num_blocks=2)
+    before = sorted(os.listdir(os.path.join(idx_dir, "postings")))
+    index = incremental_update(spark, idx_dir, v1, full_snapshot=True, num_blocks=2)
+    assert index.n_docs == 4
+    assert index.deleted is None
+    assert sorted(os.listdir(os.path.join(idx_dir, "postings"))) == before
+
+
+def test_resurfacing_old_content_is_reindexed(spark, tmp_path):
+    """path content A -> B -> A: the sha gate must compare against LIVE
+    docs, not tombstoned history."""
+    idx_dir = str(tmp_path / "aba")
+    a = [("r", "f.py", "c" * 40, "python", "AAA version one")]
+    b = [("r", "f.py", "c" * 40, "python", "BBB version two")]
+    build_index(spark, spark.createDataFrame(a, CORPUS_SCHEMA), idx_dir, num_blocks=2)
+    incremental_update(spark, idx_dir, spark.createDataFrame(b, CORPUS_SCHEMA),
+                       full_snapshot=True, num_blocks=2)
+    index = incremental_update(spark, idx_dir, spark.createDataFrame(a, CORPUS_SCHEMA),
+                               full_snapshot=True, num_blocks=2)
+    assert index.n_docs == 1
+    hits = spark_hits(index.search("AAA", 10))
+    assert len(hits) == 1
+    assert len(spark_hits(index.search("BBB", 10))) == 0
+    assert tombstone_ratio(index) == pytest.approx(2 / 3)
+
+
+def test_streaming_foreachbatch_updates_index(spark, tmp_path):
+    """Structured Streaming file source -> foreachBatch incremental
+    merge (the reference's watchdog/debounce loop, §3.3)."""
+    idx_dir = str(tmp_path / "stream_idx")
+    in_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=2)
+    n0 = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=2).n_docs
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(in_dir)
+    q = stream_corpus_updates(spark, idx_dir, stream, ckpt)
+    try:
+        spark.createDataFrame(
+            [("streamed", "x.py", "e" * 40, "python", "STREAMEDTOKEN = 1")],
+            CORPUS_SCHEMA,
+        ).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from codebased_spark.plans.engine import FtsIndex
+
+    index = FtsIndex(spark, idx_dir)
+    assert index.n_docs == n0 + 1
+    hits = index.search_with_metadata("STREAMEDTOKEN", 5).collect()
+    assert len(hits) == 1 and hits[0]["path"] == "x.py"
