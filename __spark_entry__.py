@@ -392,6 +392,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(_embeddings(spark, sf_dir), probe_vec_id=0, k=10, dim=64)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic synthetic media table ->
+    binary-payload feature extraction -> exact cosine top-10 (rows-only:
+    the media table is engine-synthesized, not a DuckDB view)."""
+    from codebased_spark.operators.multimodal import gen_media, media_features
+    from codebased_spark.operators.simsearch import cosine_topk
+
+    feats = media_features(gen_media(spark, 200, seed=11))
+    return cosine_topk(feats, probe_vec_id=0, k=10)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codebased_spark.operators.multimodal import gen_media, sample_video_frames
+
+    return sample_video_frames(gen_media(spark, 200, seed=11), every_n=2).select(
+        "media_id", "frame_no", F.length("frame_payload").alias("frame_bytes")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunctive search over the sf0.001 documents
     corpus, with metadata joined back (reference Q4-Q7 path)."""
@@ -424,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,          # rows-only (Spark-hash buckets)
         "lsh_candidate_pairs": q_lsh_pairs,  # rows-only
         "ann_topk_lsh": q_ann_lsh,       # rows-only
+        "media_features_cosine": q_media_features,  # rows-only (synthetic media)
+        "video_frame_sample": q_video_frame_sample,  # rows-only
     }
 
 

@@ -1,0 +1,191 @@
+"""Engine-side unit tests for the training-data operators (dedup,
+similarity, text analysis, multimodal plumbing) and physical-plan
+checks (pushdown/pruning)."""
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+    (3, "completely different words entirely unrelated text"),
+    (4, "spark engine posting lists compressed blocks"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs_df):
+    from codebased_spark.operators.dedup import exact_duplicates
+
+    groups = {r["digest"]: r for r in exact_duplicates(docs_df).collect()}
+    dups = [g for g in groups.values() if g["n_dups"] > 1]
+    assert len(dups) == 1 and dups[0]["n_dups"] == 2 and dups[0]["keep_doc_id"] == 0
+
+
+def test_minhash_and_jaccard_agree(docs_df):
+    from codebased_spark.operators.dedup import jaccard_to_probe, minhash_signatures
+
+    sigs = {r["doc_id"]: [r[f"sig{i}"] for i in range(8)]
+            for r in minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    matches_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    matches_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert matches_near > matches_far  # minhash tracks jaccard
+
+    jac = {r["doc_id"]: r["jaccard"] for r in jaccard_to_probe(docs_df, 0).collect()}
+    assert jac[0] == 1.0 and jac[1] == 1.0
+    assert 0.5 < jac[2] < 1.0 and jac[3] < 0.2
+
+
+def test_simhash_hamming(docs_df):
+    from codebased_spark.operators.dedup import simhash64
+
+    h = {r["doc_id"]: int(r["simhash"]) for r in simhash64(docs_df).collect()}
+    assert h[0] == h[1]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[0], h[2]) < ham(h[0], h[3])
+
+
+def test_lsh_candidate_pairs_finds_dup(docs_df):
+    from codebased_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs_df).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_cosine_and_ann(spark):
+    from codebased_spark.operators.simsearch import ann_topk_lsh, cosine_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    vecs[13] = vecs[0] * 2.0  # same direction as probe -> cosine 1.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    top = cosine_topk(emb, probe_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 13 and top[0]["cosine"] == pytest.approx(1.0)
+
+    ann = ann_topk_lsh(emb, probe_vec_id=0, k=3, dim=16).collect()
+    assert ann and ann[0]["vec_id"] == 13  # same-direction vec shares all hyperplane signs
+
+
+def test_text_stats(spark, docs_df):
+    from codebased_spark.operators.textops import (
+        quality_scores,
+        token_stats,
+        trigram_fingerprint,
+    )
+
+    ts = {r["doc_id"]: r for r in token_stats(docs_df).collect()}
+    assert ts[0]["n_tokens"] == 9
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert token_stats(empty).collect()[0]["n_tokens"] == 0
+
+    q = {r["doc_id"]: r for r in quality_scores(docs_df).collect()}
+    assert q[0]["stopword_ratio"] == pytest.approx(round(2 / 9, 6))
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in trigram_fingerprint(docs_df).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+    assert 0 <= fp[0] < 2305843009213693951
+
+
+def test_media_pipeline(spark):
+    from codebased_spark.operators.multimodal import (
+        audio_windows,
+        decode_image_stats,
+        gen_media,
+        media_features,
+        sample_video_frames,
+    )
+    from codebased_spark.operators.simsearch import cosine_topk
+
+    media = gen_media(spark, 60, seed=5).persist()
+    try:
+        kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+        assert kinds == {"image", "audio", "video"}
+
+        # determinism across two generations
+        a = sorted(map(tuple, gen_media(spark, 10, seed=5).collect()))
+        b = sorted(map(tuple, gen_media(spark, 10, seed=5).collect()))
+        assert a == b
+
+        stats = decode_image_stats(media).collect()
+        assert stats and all(len(r["chan_mean"]) == 3 for r in stats)
+
+        feats = media_features(media)
+        rows = feats.collect()
+        assert all(len(r["embedding"]) == 64 for r in rows)
+        # features are a drop-in embeddings table for similarity search
+        top = cosine_topk(feats, probe_vec_id=int(rows[0]["vec_id"]), k=3).collect()
+        assert len(top) == 3
+
+        frames = sample_video_frames(media, every_n=2).collect()
+        assert frames and all(len(bytes(r["frame_payload"])) > 0 for r in frames)
+
+        wins = audio_windows(media).collect()
+        assert wins and all(r["start_sample"] % 4000 == 0 for r in wins)
+    finally:
+        media.unpersist()
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_posting_scan_pushdown(spark, tmp_path):
+    """The posting scan must push the term filter into parquet
+    (PushedFilters) and prune to the needed columns (ReadSchema)."""
+    from codebased_spark.functions.fts5 import pack_trigram
+    from codebased_spark.plans.engine import build_index
+    from codebased_spark.sources.corpus import fixture_corpus
+
+    idx = build_index(spark, fixture_corpus(spark), str(tmp_path / "px"), num_blocks=2)
+    t = pack_trigram("hel")
+    plan = _explain(
+        idx.postings.filter(F.col("term") == t).select("term", "df")
+    )
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1][:120]
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "pos_bytes" not in read_schema  # column pruning reached the scan
+
+
+def test_bm25_scoring_is_codegen(spark):
+    """The BM25 scoring projection (per-phrase idf * tf-norm over the
+    candidate rows) must be pure JVM expressions inside WholeStageCodegen
+    — no Python eval nodes in the scoring hot path."""
+    from pyspark.sql import functions as F
+
+    cand = spark.createDataFrame(
+        [(1, 10, [2, 1]), (2, 20, [1, 1])],
+        "doc_id long, dl long, tfs_all array<long>",
+    )
+    score = F.lit(0.0)
+    for i, w in enumerate([1.5, 0.7]):
+        tf = F.col("tfs_all")[i].cast("double")
+        score = score + F.lit(w) * tf * 2.2 / (
+            tf + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl").cast("double") / 15.0)
+        )
+    scored = cand.select("doc_id", (-score).alias("rank")).orderBy("rank").limit(5)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _explain(scored)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "* Project" in plan  # '*' marks WholeStageCodegen in formatted mode
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
