@@ -411,6 +411,33 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 change detection: anti-join a mutated snapshot against the
+    stored (path, sha256) state — the incremental sha gate
+    (codebased/index.py:457-458) as relational algebra. The mutated
+    snapshot reverses every 50th doc's text, deterministically in both
+    engines."""
+    d = _documents(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    v2 = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.reverse(t)).otherwise(t).alias("text2"),
+    )
+    old = d.select("doc_id", F.sha2(t.cast("binary"), 256).alias("sha256"))
+    return (
+        v2.select("doc_id", F.sha2(F.col("text2").cast("binary"), 256).alias("sha256"))
+        .join(old, ["doc_id", "sha256"], "left_anti")
+        .select("doc_id")
+    )
+
+
+CHANGE_DETECTION_SQL = """
+SELECT doc_id FROM documents
+WHERE sha256(CASE WHEN doc_id % 50 = 0 THEN reverse(coalesce(text, ''))
+                  ELSE coalesce(text, '') END) <> sha256(coalesce(text, ''))
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunctive search over the sf0.001 documents
     corpus, with metadata joined back (reference Q4-Q7 path)."""
@@ -445,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_lsh,       # rows-only
         "media_features_cosine": q_media_features,  # rows-only (synthetic media)
         "video_frame_sample": q_video_frame_sample,  # rows-only
+        "change_detection": q_change_detection,
     }
 
 
@@ -464,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": TOKEN_STATS_SQL,
         "quality_scores": QUALITY_SQL,
         "lang_marker_scores": LANG_SQL,
+        "change_detection": CHANGE_DETECTION_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

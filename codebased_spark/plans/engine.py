@@ -86,6 +86,11 @@ class FtsIndex:
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.posting_files = self._list_posting_files()
         self.deleted = self._load_deleted()
+        # Q13 search cache (codebased/index.py:186-209): per-(query, k)
+        # memo of materialized results; a reload (incremental commit
+        # returns a fresh FtsIndex) starts clean, mirroring the
+        # clear-on-commit at codebased/index.py:668-669.
+        self._search_cache: dict[tuple[str, int], DataFrame] = {}
 
     def _load_deleted(self):
         """Tombstoned doc_ids from incremental updates (sorted int64
@@ -122,14 +127,22 @@ class FtsIndex:
         generic DataFrame scan (same results by test)."""
         from codebased_spark.operators.query import search_index, search_index_files
 
+        key = (query, top_k)
+        hit = self._search_cache.get(key)
+        if hit is not None:
+            return hit
         if self.posting_files:
-            return search_index_files(
+            out = search_index_files(
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
                 top_k, deleted=self.deleted,
             )
-        return search_index(
-            self.postings, query, self.n_docs, self.avgdl, top_k, deleted=self.deleted
-        )
+        else:
+            out = search_index(
+                self.postings, query, self.n_docs, self.avgdl, top_k,
+                deleted=self.deleted,
+            )
+        self._search_cache[key] = out
+        return out
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Q7: join survivors to doc metadata (broadcast the tiny top-k

@@ -158,6 +158,34 @@ def tombstone_ratio(index: FtsIndex) -> float:
     return dead / stored if stored else 0.0
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    num_blocks: int | None = None,
+    chunk: bool = False,
+) -> FtsIndex:
+    """The FTS5 'optimize' analogue (codebased/index.py:670): rebuild
+    the index from the current corpus into a staging dir, then swap it
+    in atomically (per directory). Drops all tombstones and re-balances
+    blocks; call when tombstone_ratio crosses the operator's threshold."""
+    import shutil
+
+    from codebased_spark.plans.engine import build_index
+
+    idx = FtsIndex(spark, index_dir)
+    staging = index_dir.rstrip("/") + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    build_index(spark, corpus, staging, num_blocks=num_blocks or idx.num_blocks,
+                chunk=chunk)
+    backup = index_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(index_dir, backup)
+    os.rename(staging, index_dir)
+    shutil.rmtree(backup)
+    return FtsIndex(spark, index_dir)
+
+
 def stream_corpus_updates(
     spark: SparkSession,
     index_dir: str,

@@ -1,0 +1,62 @@
+"""Cluster entrypoint: build (or resume) the inverted index.
+
+    spark-submit --py-files codebased_spark.zip scripts/build_index.py \
+        --corpus <iceberg-table-or-parquet-path> --index-dir /data/idx \
+        --num-blocks 4096 --chunk
+
+(`codebased_spark.session.make_pyfiles_zip()` produces the zip; when run
+with plain `python` the session helper ships it automatically.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="Iceberg table name or parquet path")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--num-blocks", type=int, default=32,
+                    help="doc blocks; size so a block's tokens fit a task (~1e8 max)")
+    ap.add_argument("--chunk", action="store_true", help="emit per-definition docs")
+    ap.add_argument("--resume", action="store_true", help="skip completed stages")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="instead of --corpus data, index N generated files (demo)")
+    args = ap.parse_args()
+
+    from codebased_spark.session import get_spark
+    from codebased_spark.sources.corpus import gen_corpus, read_corpus
+
+    spark = get_spark(app_name="codebased-build")
+    corpus = (
+        gen_corpus(spark, max(1, args.synthetic // 10), 10)
+        if args.synthetic
+        else read_corpus(spark, args.corpus)
+    )
+
+    from codebased_spark.plans.engine import build_index
+
+    t0 = time.time()
+    index = build_index(
+        spark, corpus, args.index_dir,
+        num_blocks=args.num_blocks, chunk=args.chunk, resume=args.resume,
+    )
+    print(json.dumps({
+        "index_dir": args.index_dir,
+        "n_docs": index.n_docs,
+        "avgdl": round(index.avgdl, 3),
+        "blocks": len(index.posting_files),
+        "build_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,30 @@ def test_resurfacing_old_content_is_reindexed(spark, tmp_path):
     assert tombstone_ratio(index) == pytest.approx(2 / 3)
 
 
+def test_compaction_drops_tombstones_same_results(spark, tmp_path):
+    from codebased_spark.streaming.incremental import compact_index
+
+    idx_dir = str(tmp_path / "cmp")
+    v1 = spark.createDataFrame(V1, CORPUS_SCHEMA)
+    v2 = spark.createDataFrame(V2, CORPUS_SCHEMA)
+    build_index(spark, v1, idx_dir, num_blocks=2)
+    before = incremental_update(spark, idx_dir, v2, full_snapshot=True, num_blocks=2)
+    pre = {
+        q: [(r["name_match"], round(r["score"], 9)) for r in before.search(q, 10).collect()]
+        for q in QUERIES
+    }
+    assert before.deleted is not None
+
+    compacted = compact_index(spark, idx_dir, v2, num_blocks=2)
+    assert compacted.deleted is None
+    assert compacted.n_docs == before.n_docs
+    assert compacted.doc_stats.count() == 4  # tombstoned rows physically gone
+    for q in QUERIES:
+        post = [(r["name_match"], round(r["score"], 9))
+                for r in compacted.search(q, 10).collect()]
+        assert post == pre[q], q
+
+
 def test_streaming_foreachbatch_updates_index(spark, tmp_path):
     """Structured Streaming file source -> foreachBatch incremental
     merge (the reference's watchdog/debounce loop, §3.3)."""
