@@ -102,6 +102,78 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     return c - np.repeat(base, tfs)
 
 
+def encode_posting_chunked(
+    doc_ids: np.ndarray, tfs: np.ndarray, flat_pos: np.ndarray, dls: np.ndarray
+):
+    """Chunk-independent posting encoding: every SKIP_EVERY docs start a
+    new chunk whose first doc id is absolute (the delta chain restarts),
+    so any chunk can be decoded without its predecessors — FTS5/Lucene
+    skip-block structure. Returns
+    (doc_bytes, tf_bytes, pos_bytes, dl_bytes,
+     skip_last, skip_max_tf, skip_min_dl,
+     skip_doc_off, skip_tf_off, skip_pos_off, skip_dl_off)
+    where skip_*_off[i] is the byte offset of chunk i in each stream."""
+    n = doc_ids.size
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat_pos = np.asarray(flat_pos, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+
+    # doc deltas with a reset (absolute value) at each chunk start
+    deltas = np.empty(n, dtype=np.int64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        starts = np.arange(0, n, SKIP_EVERY)
+        deltas[starts] = doc_ids[starts]
+
+    pos_offs_per_doc = np.cumsum(tfs) - tfs
+    doc_parts, tf_parts, pos_parts, dl_parts = [], [], [], []
+    d_off, t_off, p_off, l_off = [0], [0], [0], [0]
+    for s in range(0, n, SKIP_EVERY):
+        e = min(s + SKIP_EVERY, n)
+        doc_parts.append(encode_varint(deltas[s:e]))
+        tf_parts.append(encode_varint(tfs[s:e]))
+        ps = int(pos_offs_per_doc[s])
+        pe = int(pos_offs_per_doc[e - 1] + tfs[e - 1]) if e > s else ps
+        pos_parts.append(encode_positions(flat_pos[ps:pe], tfs[s:e]))
+        dl_parts.append(encode_varint(dls[s:e]))
+        d_off.append(d_off[-1] + len(doc_parts[-1]))
+        t_off.append(t_off[-1] + len(tf_parts[-1]))
+        p_off.append(p_off[-1] + len(pos_parts[-1]))
+        l_off.append(l_off[-1] + len(dl_parts[-1]))
+
+    skip_last, skip_maxtf, skip_mindl = build_skips(doc_ids, tfs, dls)
+    return (
+        b"".join(doc_parts), b"".join(tf_parts), b"".join(pos_parts),
+        b"".join(dl_parts),
+        skip_last, skip_maxtf, skip_mindl,
+        np.array(d_off[:-1], dtype=np.int64),
+        np.array(t_off[:-1], dtype=np.int64),
+        np.array(p_off[:-1], dtype=np.int64),
+        np.array(l_off[:-1], dtype=np.int64),
+    )
+
+
+def decode_doc_ids_chunked(buf: bytes) -> np.ndarray:
+    """Full decode of a chunked doc stream (delta chain restarts every
+    SKIP_EVERY values)."""
+    d = decode_varint(buf)
+    if d.size == 0:
+        return d
+    c = np.cumsum(d, dtype=np.int64)
+    starts = np.arange(0, d.size, SKIP_EVERY)
+    base = c[starts] - d[starts]
+    reps = np.diff(np.concatenate((starts, [d.size])))
+    return c - np.repeat(base, reps)
+
+
+def slice_chunks(buf: bytes, offsets: np.ndarray, chunk_ids: np.ndarray, total_len: int):
+    """bytes of the selected chunks (each independently decodable)."""
+    ends = np.concatenate((offsets[1:], [total_len])).astype(np.int64)
+    return [buf[int(offsets[i]) : int(ends[i])] for i in chunk_ids]
+
+
 def build_skips(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
     """Block-max skip metadata per SKIP_EVERY docs:
     (last_doc, max_tf, min_dl) arrays. max_tf with min_dl upper-bounds the

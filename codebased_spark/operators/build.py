@@ -38,12 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from codebased_spark.functions.codec import (
-    build_skips,
-    encode_deltas,
-    encode_positions,
-    encode_varint,
-)
+from codebased_spark.functions.codec import encode_posting_chunked
 from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS
 
 TOKEN_SCHEMA = (
@@ -56,7 +51,9 @@ TOKEN_SCHEMA = (
 POSTING_SCHEMA = (
     "pblock int, term long, col int, df long, "
     "doc_bytes binary, tf_bytes binary, pos_bytes binary, dl_bytes binary, "
-    "skip_last array<long>, skip_max_tf array<long>, skip_min_dl array<long>"
+    "skip_last array<long>, skip_max_tf array<long>, skip_min_dl array<long>, "
+    "skip_doc_off array<long>, skip_tf_off array<long>, "
+    "skip_pos_off array<long>, skip_dl_off array<long>"
 )
 
 
@@ -121,12 +118,14 @@ def _encode_group(pblock, term, col, doc_ids, dls, pos_lists):
 
 
 def _encode_row(pblock, term, col, doc_ids, tfs, flat_pos, dls):
-    skip_last, skip_maxtf, skip_mindl = build_skips(doc_ids, tfs, dls)
+    (doc_b, tf_b, pos_b, dl_b,
+     skip_last, skip_maxtf, skip_mindl,
+     d_off, t_off, p_off, l_off) = encode_posting_chunked(doc_ids, tfs, flat_pos, dls)
     return (
         int(pblock), int(term), int(col), int(doc_ids.size),
-        encode_deltas(doc_ids), encode_varint(tfs),
-        encode_positions(flat_pos, tfs), encode_varint(dls),
+        doc_b, tf_b, pos_b, dl_b,
         skip_last.tolist(), skip_maxtf.tolist(), skip_mindl.tolist(),
+        d_off.tolist(), t_off.tolist(), p_off.tolist(), l_off.tolist(),
     )
 
 
@@ -137,7 +136,8 @@ def _encode_batches(it):
     carried into the next."""
     cols = ["pblock", "term", "col", "df",
             "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
-            "skip_last", "skip_max_tf", "skip_min_dl"]
+            "skip_last", "skip_max_tf", "skip_min_dl",
+            "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off"]
     carry = None
 
     def emit(region: pd.DataFrame):
@@ -260,7 +260,8 @@ def _fused_batches(it):
 
     out_cols = ["pblock", "term", "col", "df",
                 "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
-                "skip_last", "skip_max_tf", "skip_min_dl"]
+                "skip_last", "skip_max_tf", "skip_min_dl",
+                "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off"]
     rows = []
     for s, e in zip(starts, ends):
         k = keys[s:e]

@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from codebased_spark import B, DEFAULT_TOP_K, K1
-from codebased_spark.functions.codec import decode_deltas, decode_positions, decode_varint
+from codebased_spark.functions.codec import (
+    SKIP_EVERY,
+    decode_doc_ids_chunked,
+    decode_positions,
+    decode_varint,
+    slice_chunks,
+)
 from codebased_spark.functions.fts5 import idf as idf_fn
 from codebased_spark.functions.fts5 import phrase_terms, query_phrases
 
@@ -57,19 +63,35 @@ def _multi_slice(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
 
 
 class _Row:
-    """Lazily-decoded posting row for one (term, col) in one block."""
+    """Lazily-decoded posting row for one (term, col) in one block.
 
-    __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs", "_dls")
+    The byte streams restart their delta chains every SKIP_EVERY docs
+    with recorded byte offsets (functions/codec.encode_posting_chunked),
+    so membership tests and position fetches against a small candidate
+    set decode only the touched chunks — the skip-pointer read path that
+    makes intersecting a rare term with a huge stopword-like trigram
+    list O(|rare| * chunk) instead of O(|huge|)."""
+
+    __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs", "_dls",
+                 "_skip_last", "_chunks")
 
     def __init__(self, rec):
         self.df = int(rec["df"])
         self._raw = rec
         self._docs = self._tfs = self._pos = self._offs = self._dls = None
+        self._skip_last = None
+        self._chunks = {}  # chunk_id -> (docs, tfs, pos, pos_offs, dls)
+
+    @property
+    def skip_last(self):
+        if self._skip_last is None:
+            self._skip_last = np.asarray(self._raw["skip_last"], dtype=np.int64)
+        return self._skip_last
 
     @property
     def docs(self):
         if self._docs is None:
-            self._docs = decode_deltas(self._raw["doc_bytes"])
+            self._docs = decode_doc_ids_chunked(self._raw["doc_bytes"])
         return self._docs
 
     @property
@@ -91,12 +113,79 @@ class _Row:
             self._offs = np.cumsum(self.tfs) - self.tfs
         return self._pos
 
+    def _chunk(self, cid: int):
+        """Decode one chunk on demand (docs, tfs, pos, pos_offs, dls)."""
+        got = self._chunks.get(cid)
+        if got is not None:
+            return got
+        r = self._raw
+        n_chunks = len(r["skip_last"])
+        docs_b = slice_chunks(r["doc_bytes"], np.asarray(r["skip_doc_off"]),
+                              np.array([cid]), len(r["doc_bytes"]))[0]
+        tf_b = slice_chunks(r["tf_bytes"], np.asarray(r["skip_tf_off"]),
+                            np.array([cid]), len(r["tf_bytes"]))[0]
+        pos_b = slice_chunks(r["pos_bytes"], np.asarray(r["skip_pos_off"]),
+                             np.array([cid]), len(r["pos_bytes"]))[0]
+        dl_b = slice_chunks(r["dl_bytes"], np.asarray(r["skip_dl_off"]),
+                            np.array([cid]), len(r["dl_bytes"]))[0]
+        docs = np.cumsum(decode_varint(docs_b), dtype=np.int64)
+        tfs = decode_varint(tf_b)
+        pos = decode_positions(pos_b, tfs)
+        dls = decode_varint(dl_b)
+        got = (docs, tfs, pos, np.cumsum(tfs) - tfs, dls)
+        if n_chunks > 1:  # caching only pays when the row is chunked
+            self._chunks[cid] = got
+        return got
+
+    def _chunks_for(self, doc_subset: np.ndarray) -> np.ndarray:
+        return np.unique(np.searchsorted(self.skip_last, doc_subset))
+
+    def members(self, doc_subset: np.ndarray) -> np.ndarray:
+        """Subset of doc_subset present in this posting list — decodes
+        only the chunks the candidates could live in."""
+        cids = self._chunks_for(doc_subset)
+        cids = cids[cids < self.skip_last.size]
+        if cids.size == 0:
+            return doc_subset[:0]
+        if self._docs is not None or cids.size == self.skip_last.size:
+            return doc_subset[np.isin(doc_subset, self.docs, assume_unique=True)]
+        present = np.concatenate([self._chunk(int(c))[0] for c in cids])
+        return doc_subset[np.isin(doc_subset, present, assume_unique=True)]
+
+    def rows_for(self, doc_subset: np.ndarray):
+        """(flat positions, lens, dls) for the (sorted, member) subset —
+        chunk-selective decode."""
+        cids = self._chunks_for(doc_subset)
+        cids = cids[cids < self.skip_last.size]
+        if self._pos is not None or cids.size == self.skip_last.size:
+            idx = np.searchsorted(self.docs, doc_subset)
+            lens = self.tfs[idx]
+            if self._pos is None:
+                _ = self.pos
+            return _multi_slice(self.pos, self._offs[idx], lens), lens, self.dls[idx]
+        parts_p, parts_l, parts_d = [], [], []
+        split_at = np.searchsorted(doc_subset, self.skip_last[cids], side="right")
+        prev = 0
+        for c, hi in zip(cids, split_at):
+            sub = doc_subset[prev:hi]
+            prev = hi
+            if sub.size == 0:
+                continue
+            docs, tfs, pos, pos_offs, dls = self._chunk(int(c))
+            idx = np.searchsorted(docs, sub)
+            lens = tfs[idx]
+            parts_p.append(_multi_slice(pos, pos_offs[idx], lens))
+            parts_l.append(lens)
+            parts_d.append(dls[idx])
+        if not parts_l:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        return np.concatenate(parts_p), np.concatenate(parts_l), np.concatenate(parts_d)
+
     def positions_for(self, doc_subset: np.ndarray):
         """(flat positions, lens) for the given (sorted) subset of docs."""
-        pos = self.pos
-        idx = np.searchsorted(self.docs, doc_subset)
-        lens = self.tfs[idx]
-        return _multi_slice(pos, self._offs[idx], lens), lens
+        p, lens, _ = self.rows_for(doc_subset)
+        return p, lens
 
 
 def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
@@ -116,14 +205,17 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
         r = recs[0]
         return r.docs, r.tfs, r.dls
     order = sorted(range(len(recs)), key=lambda i: recs[i].df)
-    common = recs[order[0]].docs
+    common = recs[order[0]].docs  # rarest list drives; it IS the candidate set
     for i in order[1:]:
-        common = common[np.isin(common, recs[i].docs, assume_unique=True)]
+        common = recs[i].members(common)  # chunk-selective membership test
         if common.size == 0:
             return None
     keys = None
+    dls = None
     for i, r in enumerate(recs):
-        p, lens = r.positions_for(common)
+        p, lens, d = r.rows_for(common)
+        if dls is None:
+            dls = d
         didx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
         shifted = p - i
         ok = shifted >= 0
@@ -133,9 +225,7 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
             return None
     tf = np.bincount((keys >> _POS_BITS).astype(np.int64), minlength=common.size)
     hit = tf > 0
-    r0 = recs[0]
-    dls = r0.dls[np.searchsorted(r0.docs, common[hit])]
-    return common[hit], tf[hit], dls
+    return common[hit], tf[hit], dls[hit]
 
 
 def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
@@ -246,6 +336,7 @@ CAND2_SCHEMA = (
 
 _POSTING_READ_COLUMNS = [
     "term", "col", "df", "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
+    "skip_last", "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off",
 ]
 
 

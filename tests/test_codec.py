@@ -56,6 +56,64 @@ def test_positions_roundtrip(per_doc):
     assert got.tolist() == flat.tolist()
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**39),
+            st.lists(st.integers(min_value=0, max_value=2**20), min_size=1, max_size=5),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_chunked_roundtrip_and_selective(entries):
+    """Chunked encoding decodes back exactly — both the full stream and
+    every chunk independently (the skip-pointer contract)."""
+    from codebased_spark.functions.codec import (
+        decode_doc_ids_chunked,
+        encode_posting_chunked,
+        slice_chunks,
+    )
+
+    by_doc = {}
+    for d, ps, dl in entries:
+        by_doc[d] = (sorted(set(ps)), dl)
+    doc_ids = np.array(sorted(by_doc), dtype=np.int64)
+    tfs = np.array([len(by_doc[d][0]) for d in doc_ids], dtype=np.int64)
+    flat = np.array([p for d in doc_ids for p in by_doc[d][0]], dtype=np.int64)
+    dls = np.array([by_doc[d][1] for d in doc_ids], dtype=np.int64)
+
+    (db, tb, pb, lb, last, maxtf, mindl, d_off, t_off, p_off, l_off) = (
+        encode_posting_chunked(doc_ids, tfs, flat, dls)
+    )
+    assert decode_doc_ids_chunked(db).tolist() == doc_ids.tolist()
+    assert decode_varint(tb).tolist() == tfs.tolist()
+    assert decode_positions(pb, tfs).tolist() == flat.tolist()
+    assert decode_varint(lb).tolist() == dls.tolist()
+
+    # per-chunk independence
+    n = doc_ids.size
+    pos_offs = np.cumsum(tfs) - tfs
+    for ci in range(last.size):
+        s, e = ci * SKIP_EVERY, min((ci + 1) * SKIP_EVERY, n)
+        chunk_docs = np.cumsum(
+            decode_varint(slice_chunks(db, d_off, np.array([ci]), len(db))[0]),
+            dtype=np.int64,
+        )
+        assert chunk_docs.tolist() == doc_ids[s:e].tolist()
+        chunk_tfs = decode_varint(slice_chunks(tb, t_off, np.array([ci]), len(tb))[0])
+        assert chunk_tfs.tolist() == tfs[s:e].tolist()
+        ps = int(pos_offs[s])
+        pe = int(pos_offs[e - 1] + tfs[e - 1])
+        chunk_pos = decode_positions(
+            slice_chunks(pb, p_off, np.array([ci]), len(pb))[0], chunk_tfs
+        )
+        assert chunk_pos.tolist() == flat[ps:pe].tolist()
+        assert last[ci] == doc_ids[e - 1]
+
+
 def test_skips():
     n = 300
     docs = np.arange(1000, 1000 + n, dtype=np.int64)

@@ -121,6 +121,26 @@ def test_file_scan_path_matches_df_path(spark, built, query):
     ]
 
 
+def test_multichunk_selective_decode_parity(spark, tmp_path):
+    """Blocks with many 128-doc chunks: the chunk-selective membership /
+    position reads must give the same scores as the brute-force scan."""
+    from codebased_spark.operators.docs import build_docs
+
+    corpus = gen_corpus(spark, n_repos=120, files_per_repo=10, seed=21)  # 1200 files
+    idx = build_index(spark, corpus, str(tmp_path / "mc"), num_blocks=2)
+    nchunks = max(len(r["skip_last"]) for r in
+                  idx.postings.select("skip_last").collect())
+    assert nchunks >= 4  # the selective path is actually multi-chunk
+
+    docs = build_docs(corpus, num_blocks=2)
+    for q in ["hello world", '"server started on port"', "return scan"]:
+        fast = spark_hits(idx.search(q, 32))
+        brute = spark_hits(search_bruteforce(docs, q, 32, idx.n_docs, idx.avgdl))
+        assert [(d, n, round(s, 12)) for d, n, s in fast] == [
+            (d, n, round(s, 12)) for d, n, s in brute
+        ], q
+
+
 def test_fused_build_matches_two_stage(spark):
     """build_postings_fused output is byte-identical to the two-stage
     tokenize -> sort -> encode path."""
