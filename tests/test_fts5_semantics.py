@@ -141,3 +141,57 @@ def test_count_overlapping():
 def test_idf_clamp():
     assert idf(5, 4) == 1e-6  # ln((5-4+.5)/(4+.5)) < 0 -> clamped
     assert idf(5, 1) == pytest.approx(math.log((5 - 1 + 0.5) / 1.5))
+
+
+# --- property-level parity: random corpora/queries vs SQLite itself ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(alphabet="abcdex YZ_().", min_size=0, max_size=24)
+
+
+@given(
+    docs=st.lists(st.tuples(_WORD, _WORD, _WORD), min_size=1, max_size=12),
+    phrases=st.lists(st.text(alphabet="abcdex YZ", min_size=3, max_size=8),
+                     min_size=1, max_size=3),
+)
+@settings(max_examples=150, deadline=None)
+def test_formula_matches_sqlite_on_random_corpora(docs, phrases):
+    """Random small corpora + random phrase sets: the pure-Python formula
+    (the contract every distributed path is tested against) must match
+    SQLite FTS5 rank float-exactly, including clamps and column filters."""
+    import numpy as np
+
+    db = sqlite3.connect(":memory:")
+    db.execute('create virtual table f using fts5(path, name, content, tokenize="trigram")')
+    rows = [(i + 1, p or "p", n or "n", c) for i, (p, n, c) in enumerate(docs)]
+    db.executemany("insert into f (rowid, path, name, content) values (?,?,?,?)", rows)
+
+    n_docs = len(rows)
+    dls = {r[0]: doc_length(r[1], r[2], r[3]) for r in rows}
+    avgdl = sum(dls.values()) / n_docs
+    folded = [tuple(c.lower() for c in r[1:4]) for r in rows]
+    phrases = [p.lower() for p in phrases]
+
+    expected = {}
+    for (rowid, *_), cols in zip(rows, folded):
+        total, ok = 0.0, True
+        for ph in phrases:
+            tf = sum(count_overlapping(c, ph) for c in cols)
+            if tf == 0:
+                ok = False
+                break
+            dfp = sum(1 for fc in folded if any(count_overlapping(c, ph) for c in fc))
+            total += idf(n_docs, dfp) * bm25_term(tf, dls[rowid], avgdl)
+        if ok:
+            expected[rowid] = -total
+
+    q = " ".join('"' + p.replace('"', '""') + '"' for p in phrases)
+    try:
+        got = dict(db.execute("select rowid, rank from f(?)", (q,)).fetchall())
+    except sqlite3.OperationalError:
+        return  # syntactically-empty query -> reference surfaces 0 rows
+    assert set(got) == set(expected)
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1e-9, (k, v, expected[k])

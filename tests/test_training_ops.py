@@ -100,6 +100,25 @@ def test_text_stats(spark, docs_df):
     assert 0 <= fp[0] < 2305843009213693951
 
 
+def test_identifier_splitting(spark):
+    from codebased_spark.operators.textops import split_identifiers
+
+    df = spark.createDataFrame(
+        [
+            (0, "parseHTTPRequest build_posting_list kebab-case-name"),
+            (1, "XMLHttpRequest2 simpleword"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["subtoken"]: (r["occurrences"], r["df"])
+           for r in split_identifiers(df).collect()}
+    assert out["parse"] == (1, 1)
+    assert out["http"] == (2, 2)  # parseHTTPRequest + XMLHttpRequest2
+    assert out["request"] == (1, 1) and out["request2"] == (1, 1)
+    assert out["posting"] == (1, 1) and out["kebab"] == (1, 1)
+    assert out["xml"] == (1, 1) and out["simpleword"] == (1, 1)
+
+
 def test_media_pipeline(spark):
     from codebased_spark.operators.multimodal import (
         audio_windows,
