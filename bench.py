@@ -88,6 +88,11 @@ def main() -> None:
         index.search(q, 32).collect()
         q_times[name] = round(time.time() - t, 3)
 
+    # batched execution: one shared scan + two jobs for the whole set
+    tb = time.time()
+    index.search_batch(list(QUERIES.values()), 32).count()
+    batch_sec = round(time.time() - tb, 3)
+
     lat = sorted(q_times.values())
     p50 = lat[len(lat) // 2]
     total = round(time.time() - t0, 3)
@@ -104,6 +109,8 @@ def main() -> None:
                 "build_sec": round(build_sec, 3),
                 "build_files_per_sec": round(n_files / build_sec, 1),
                 "p50_query_sec": p50,
+                "batch6_total_sec": batch_sec,
+                "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
                 "cpus": cpus,
             }
         )

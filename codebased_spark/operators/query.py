@@ -228,6 +228,74 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
     return common[hit], tf[hit], dls[hit]
 
 
+def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None):
+    """One query's per-block computation over pre-built _Row handles:
+    returns (stats_tuples, doc_frame_or_None). Shared by the single-query
+    and batched UDFs; ``cache`` memoizes per-(phrase, col) results so
+    batched queries sharing phrases decode once."""
+    n_ph = len(phrase_term_ids)
+    stats = []
+    per_phrase = []
+    for pi, terms in enumerate(phrase_term_ids):
+        ck = (tuple(terms),)
+        got_all = cache.get(ck) if cache is not None else None
+        if got_all is None:
+            per_col = {}
+            for col in (0, 1, 2):
+                got = _phrase_block_tfs(rows, terms, col)
+                if got is not None:
+                    per_col[col] = got
+            if not per_col:
+                got_all = None
+            else:
+                all_docs = np.unique(np.concatenate([d for d, _, _ in per_col.values()]))
+                tf_all = np.zeros(all_docs.size, dtype=np.int64)
+                tf_name = np.zeros(all_docs.size, dtype=np.int64)
+                dl = np.zeros(all_docs.size, dtype=np.int64)
+                for col, (d, t, dlv) in per_col.items():
+                    ix = np.searchsorted(all_docs, d)
+                    tf_all[ix] += t
+                    dl[ix] = dlv
+                    if col == 1:
+                        tf_name[ix] += t
+                if deleted is not None and deleted.size:
+                    live = ~np.isin(all_docs, deleted, assume_unique=True)
+                    all_docs, tf_all, tf_name, dl = (
+                        all_docs[live], tf_all[live], tf_name[live], dl[live]
+                    )
+                got_all = (all_docs, tf_all, tf_name, dl) if all_docs.size else None
+            if cache is not None:
+                cache[ck] = got_all if got_all is not None else False
+        elif got_all is False:
+            got_all = None
+        if got_all is None:
+            per_phrase.append(None)
+            continue
+        all_docs, tf_all, tf_name, _dl = got_all
+        stats.append((pi, int(all_docs.size), int((tf_name > 0).sum())))
+        per_phrase.append(got_all)
+
+    doc_frame = None
+    if n_ph and all(p is not None for p in per_phrase):
+        common = per_phrase[0][0]
+        for p in per_phrase[1:]:
+            common = common[np.isin(common, p[0], assume_unique=True)]
+            if common.size == 0:
+                break
+        if common.size:
+            tfs_all = np.empty((common.size, n_ph), dtype=np.int64)
+            tfs_name = np.empty((common.size, n_ph), dtype=np.int64)
+            dl = None
+            for i, (docs, ta, tn, dlv) in enumerate(per_phrase):
+                ix = np.searchsorted(docs, common)
+                tfs_all[:, i] = ta[ix]
+                tfs_name[:, i] = tn[ix]
+                if dl is None:
+                    dl = dlv[ix]
+            doc_frame = (common, dl, list(tfs_all), list(tfs_name))
+    return stats, doc_frame
+
+
 def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
     """applyInPandas over one block's posting rows.
 
@@ -242,89 +310,37 @@ def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None
       BM25 sum happens later as a codegen'd projection; survivors of the
       conjunction are typically a small fraction of per-phrase matches.
     """
-    n_ph = len(phrase_term_ids)
-
-    def empty():
-        return pd.DataFrame(
-            {"kind": pd.array([], dtype="int32"),
-             "phrase": pd.array([], dtype="int32"),
-             "df_all": pd.array([], dtype="int64"),
-             "df_name": pd.array([], dtype="int64"),
-             "doc_id": pd.array([], dtype="int64"),
-             "dl": pd.array([], dtype="int64"),
-             "tfs_all": pd.Series([], dtype="object"),
-             "tfs_name": pd.Series([], dtype="object")}
-        )
+    cols = ["kind", "phrase", "df_all", "df_name", "doc_id", "dl",
+            "tfs_all", "tfs_name"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = {
             (int(r["term"]), int(r["col"])): _Row(r)
             for _, r in pdf.iterrows()
         }
-        stats = []
-        per_phrase = []  # (docs, tf_all, tf_name, dl) per phrase
-        for pi, terms in enumerate(phrase_term_ids):
-            per_col = {}
-            for col in (0, 1, 2):
-                got = _phrase_block_tfs(rows, terms, col)
-                if got is not None:
-                    per_col[col] = got
-            if not per_col:
-                per_phrase.append(None)
-                continue
-            all_docs = np.unique(np.concatenate([d for d, _, _ in per_col.values()]))
-            tf_all = np.zeros(all_docs.size, dtype=np.int64)
-            tf_name = np.zeros(all_docs.size, dtype=np.int64)
-            dl = np.zeros(all_docs.size, dtype=np.int64)
-            for col, (d, t, dlv) in per_col.items():
-                ix = np.searchsorted(all_docs, d)
-                tf_all[ix] += t
-                dl[ix] = dlv
-                if col == 1:
-                    tf_name[ix] += t
-            if deleted is not None and deleted.size:
-                live = ~np.isin(all_docs, deleted, assume_unique=True)
-                all_docs, tf_all, tf_name, dl = (
-                    all_docs[live], tf_all[live], tf_name[live], dl[live]
-                )
-                if all_docs.size == 0:
-                    per_phrase.append(None)
-                    continue
-            stats.append((0, pi, int(all_docs.size), int((tf_name > 0).sum()),
-                          0, 0, None, None))
-            per_phrase.append((all_docs, tf_all, tf_name, dl))
-
+        stats, doc_frame = _query_block_frames(rows, phrase_term_ids, deleted)
         frames = []
         if stats:
             frames.append(pd.DataFrame(
-                stats, columns=["kind", "phrase", "df_all", "df_name",
-                                "doc_id", "dl", "tfs_all", "tfs_name"]))
-
-        if all(p is not None for p in per_phrase) and n_ph:
-            # conjunction inside the block: docs present in EVERY phrase
-            common = per_phrase[0][0]
-            for p in per_phrase[1:]:
-                common = common[np.isin(common, p[0], assume_unique=True)]
-                if common.size == 0:
-                    break
-            if common.size:
-                tfs_all = np.empty((common.size, n_ph), dtype=np.int64)
-                tfs_name = np.empty((common.size, n_ph), dtype=np.int64)
-                dl = None
-                for i, (docs, ta, tn, dlv) in enumerate(per_phrase):
-                    ix = np.searchsorted(docs, common)
-                    tfs_all[:, i] = ta[ix]
-                    tfs_name[:, i] = tn[ix]
-                    if dl is None:
-                        dl = dlv[ix]
-                frames.append(pd.DataFrame(
-                    {"kind": 1, "phrase": -1,
-                     "df_all": 0, "df_name": 0,
-                     "doc_id": common, "dl": dl,
-                     "tfs_all": list(tfs_all),
-                     "tfs_name": list(tfs_name)}
-                ))
-        return pd.concat(frames, ignore_index=True) if frames else empty()
+                [(0, pi, da, dn, 0, 0, None, None) for pi, da, dn in stats],
+                columns=cols))
+        if doc_frame is not None:
+            common, dl, ta, tn = doc_frame
+            frames.append(pd.DataFrame(
+                {"kind": 1, "phrase": -1, "df_all": 0, "df_name": 0,
+                 "doc_id": common, "dl": dl, "tfs_all": ta, "tfs_name": tn}))
+        if not frames:
+            return pd.DataFrame(
+                {"kind": pd.array([], dtype="int32"),
+                 "phrase": pd.array([], dtype="int32"),
+                 "df_all": pd.array([], dtype="int64"),
+                 "df_name": pd.array([], dtype="int64"),
+                 "doc_id": pd.array([], dtype="int64"),
+                 "dl": pd.array([], dtype="int64"),
+                 "tfs_all": pd.Series([], dtype="object"),
+                 "tfs_name": pd.Series([], dtype="object")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return fn
 
@@ -333,6 +349,150 @@ CAND2_SCHEMA = (
     "kind int, phrase int, df_all long, df_name long, "
     "doc_id long, dl long, tfs_all array<long>, tfs_name array<long>"
 )
+
+BATCH_SCHEMA = "qid int, " + CAND2_SCHEMA
+
+
+def _batch_candidates_fn(queries_terms, needed, deleted=None):
+    """mapInPandas over (pblock, path) rows for MANY queries at once:
+    one pyarrow scan + one set of _Row handles per block serves every
+    query; a per-(phrase) memo means queries sharing phrases decode and
+    intersect once. Amortizes the per-job floor across a query batch."""
+    cols = ["qid", "kind", "phrase", "df_all", "df_name", "doc_id", "dl",
+            "tfs_all", "tfs_name"]
+
+    def fn(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            for _pblock, path in zip(pdf["pblock"], pdf["path"]):
+                tbl = pq.read_table(
+                    path, filters=[("term", "in", list(needed))],
+                    columns=_POSTING_READ_COLUMNS,
+                )
+                if tbl.num_rows == 0:
+                    continue
+                block = tbl.to_pandas()
+                rows = {
+                    (int(r["term"]), int(r["col"])): _Row(r)
+                    for _, r in block.iterrows()
+                }
+                cache: dict = {}
+                frames = []
+                for qid, term_ids in queries_terms:
+                    stats, doc_frame = _query_block_frames(
+                        rows, term_ids, deleted, cache=cache
+                    )
+                    if stats:
+                        frames.append(pd.DataFrame(
+                            [(qid, 0, pi, da, dn, 0, 0, None, None)
+                             for pi, da, dn in stats],
+                            columns=cols))
+                    if doc_frame is not None:
+                        common, dl, ta, tn = doc_frame
+                        frames.append(pd.DataFrame(
+                            {"qid": qid, "kind": 1, "phrase": -1,
+                             "df_all": 0, "df_name": 0,
+                             "doc_id": common, "dl": dl,
+                             "tfs_all": ta, "tfs_name": tn}))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
+def search_index_files_batch(
+    spark,
+    posting_files: list[tuple[int, str]],
+    queries: list[str],
+    n_docs: int,
+    avgdl: float,
+    top_k: int = DEFAULT_TOP_K,
+    deleted=None,
+) -> DataFrame:
+    """Batched two-branch FTS search: one shared posting scan for all
+    queries, then per-query branch top-k via windows — 2 Spark jobs
+    total regardless of batch size. Returns
+    (qid, doc_id, name_match, rank, score); queries yielding no results
+    (invalid phrases / failed AND) simply have no rows."""
+    from pyspark.sql.window import Window
+
+    empty = spark.createDataFrame(
+        [], "qid int, doc_id long, name_match boolean, rank double, score double"
+    )
+    parsed = []
+    for qi, q in enumerate(queries):
+        phrases = query_phrases(q)
+        if phrases and not any(len(p) < 3 for p in phrases) and n_docs:
+            parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
+    if not parsed or not posting_files:
+        return empty
+
+    needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
+    files_df = spark.createDataFrame(posting_files, "pblock int, path string")
+    n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
+    cand = files_df.repartition(n_part).mapInPandas(
+        _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed, deleted),
+        BATCH_SCHEMA,
+    ).persist()
+    try:
+        dfs = {
+            (int(r["qid"]), int(r["phrase"])): (int(r["sa"]), int(r["sn"]))
+            for r in cand.filter(F.col("kind") == 0)
+            .groupBy("qid", "phrase")
+            .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
+            .collect()
+        }
+        branches = []
+        docs_r = cand.filter(F.col("kind") == 1)
+        for qi, phrases, _tids in parsed:
+            n_ph = len(phrases)
+            if any((qi, i) not in dfs for i in range(n_ph)):
+                continue  # a phrase matched nothing -> AND fails for this query
+            idf_all = [idf_fn(n_docs, dfs[(qi, i)][0]) for i in range(n_ph)]
+            idf_name = [idf_fn(n_docs, dfs[(qi, i)][1]) if dfs[(qi, i)][1] else 0.0
+                        for i in range(n_ph)]
+
+            def score_expr(tf_col, idfs):
+                sc = F.lit(0.0)
+                for i, w in enumerate(idfs):
+                    sc = sc + F.lit(w) * _norm(F.col(tf_col)[i], F.col("dl"), avgdl)
+                return sc
+
+            qrows = docs_r.filter(F.col("qid") == qi)
+            branches.append(qrows.select(
+                "qid", "doc_id", F.lit(False).alias("name_match"),
+                (-score_expr("tfs_all", idf_all)).alias("rank")))
+            branches.append(
+                qrows.filter(F.forall(F.col("tfs_name"), lambda x: x > 0)).select(
+                    "qid", "doc_id", F.lit(True).alias("name_match"),
+                    (-score_expr("tfs_name", idf_name)).alias("rank")))
+        if not branches:
+            return empty
+        allb = branches[0]
+        for b in branches[1:]:
+            allb = allb.unionAll(b)
+        w_branch = Window.partitionBy("qid", "name_match").orderBy(
+            F.asc("rank"), F.asc("doc_id"))
+        limited = allb.withColumn("rn", F.row_number().over(w_branch)).filter(
+            F.col("rn") <= top_k).drop("rn")
+        mergedq = (
+            limited.groupBy("qid", "doc_id")
+            .agg(F.max("name_match").alias("name_match"), F.min("rank").alias("rank"))
+        )
+        w_final = Window.partitionBy("qid").orderBy(
+            F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
+        out = (
+            mergedq.withColumn("rn", F.row_number().over(w_final))
+            .filter(F.col("rn") <= top_k)
+            .drop("rn")
+            .withColumn("score", -F.col("rank"))
+            .select("qid", "doc_id", "name_match", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cand.unpersist()
+    return out
 
 _POSTING_READ_COLUMNS = [
     "term", "col", "df", "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",

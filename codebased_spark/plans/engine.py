@@ -144,6 +144,18 @@ class FtsIndex:
         self._search_cache[key] = out
         return out
 
+    def search_batch(self, queries: list[str], top_k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Batched search: one shared posting scan + two Spark jobs for
+        the whole batch (the shape for offline batch scoring). Returns
+        (qid, doc_id, name_match, rank, score); rank-identical per query
+        to :meth:`search` (tested)."""
+        from codebased_spark.operators.query import search_index_files_batch
+
+        return search_index_files_batch(
+            self.spark, self.posting_files, queries, self.n_docs, self.avgdl,
+            top_k, deleted=self.deleted,
+        )
+
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Q7: join survivors to doc metadata (broadcast the tiny top-k
         side — reference joins object rows at codebased/search.py:278-296)."""

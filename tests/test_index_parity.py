@@ -121,6 +121,26 @@ def test_file_scan_path_matches_df_path(spark, built, query):
     ]
 
 
+def test_batch_search_matches_individual(spark, built):
+    """search_batch must be bit-identical per query to search(), and
+    tolerate invalid/no-match queries mixed into the batch."""
+    index, _ = built
+    queries = ["Hello world", "Server started", "code hello", "zz", "nomatchxyz", ""]
+    batch = index.search_batch(queries, top_k=10)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(int(r["qid"]), []).append(
+            (bool(r["name_match"]), round(float(r["rank"]), 12), int(r["doc_id"]))
+        )
+    for qi, q in enumerate(queries):
+        single = sorted(
+            (bool(r["name_match"]), round(float(r["rank"]), 12), int(r["doc_id"]))
+            for r in index.search(q, 10).collect()
+        )
+        assert sorted(by_q.get(qi, [])) == single, q
+    assert 3 not in by_q and 4 not in by_q and 5 not in by_q
+
+
 def test_multichunk_selective_decode_parity(spark, tmp_path):
     """Blocks with many 128-doc chunks: the chunk-selective membership /
     position reads must give the same scores as the brute-force scan."""
