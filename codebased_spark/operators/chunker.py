@@ -292,6 +292,7 @@ _JAVA_METHOD = re.compile(
     r"^(\s*)(?:(?:public|private|protected|static|final|abstract|synchronized)\s+)+"
     r"[\w<>\[\], ]+\s+([A-Za-z_]\w*)\s*\([^;]*$"
 )
+_JAVA_NAMESPACE = re.compile(r"^(\s*)(namespace)\s+([A-Za-z_][\w.]*)")
 
 
 def _scan_java(L: _Lines):
@@ -312,8 +313,21 @@ def _scan_java(L: _Lines):
                            L.byte_at(r, col), L.line_end_byte(end), before, after))
             scopes.append((ind, _Scope(r, end)))
             continue
+        m = _JAVA_NAMESPACE.match(line)
+        if m:
+            end = _brace_block_end(L, r)
+            before, after = _context([s for _, s in scopes], r, end)
+            col = line.find("namespace")
+            out.append(Obj(m.group(3), "definition.module", r, col, end,
+                           len(L.lines[end]), L.byte_at(r, col),
+                           L.line_end_byte(end), before, after))
+            scopes.append((ind, _Scope(r, end)))
+            continue
         m = _JAVA_METHOD.match(line)
-        if m and "=" not in line.split("(")[0]:
+        if m and scopes and "=" not in line.split("(")[0]:
+            # methods exist only inside class/interface/namespace bodies;
+            # a top-level "method" is a grammar error tree-sitter never
+            # tags (the C# golden's Main)
             end = _brace_block_end(L, r)
             before, after = _context([s for _, s in scopes], r, end)
             out.append(Obj(m.group(2), "definition.method", r, ind, end,
@@ -382,45 +396,155 @@ def _scan_ruby(L: _Lines):
     return out
 
 
-_C_STRUCT = re.compile(r"^(\s*)(?:typedef\s+)?(struct|class)\s+([A-Za-z_]\w*)")
+_PP_NAMED = re.compile(r"^\s*#\s*(?:ifndef|ifdef)\s+([A-Za-z_]\w*)")
+_PP_OPEN = re.compile(r"^\s*#\s*(?:if|ifdef|ifndef)\b")
+_PP_END = re.compile(r"^\s*#\s*endif\b")
+_C_TYPEDEF = re.compile(r"^typedef\b")
+_C_STRUCT = re.compile(r"^(\s*)(struct|class)\s+([A-Za-z_]\w*)")
+_C_ENUM = re.compile(r"^(\s*)enum\s+(?:class\s+)?([A-Za-z_]\w*)")
 _C_FUNC = re.compile(
-    r"^(\s*)(?:[A-Za-z_][\w:<>~\*\&\s]*?[\s\*\&])?([A-Za-z_~]\w*)\s*\([^;]*\)\s*(?:const\s*)?\{?\s*$"
+    r"^(\s*)(?:[A-Za-z_][\w:<>~\*\&\s]*?[\s\*\&])?((?:[A-Za-z_]\w*::)?[A-Za-z_~]\w*)\s*\([^;]*\)\s*(?:const\s*)?\{?\s*$"
 )
-_C_KEYWORDS = {"if", "while", "for", "switch", "return", "else", "do", "sizeof"}
+_CPP_METHOD_DECL = re.compile(
+    r"^\s*(?:(?:virtual|static|inline|explicit|constexpr|friend)\s+)*"
+    r"[A-Za-z_][\w:<>]*(?:\s*[\*\&]+\s*|\s+)([A-Za-z_]\w*)\s*\([^;{]*\)\s*"
+    r"(?:const\s*)?(?:override\s*)?(?:final\s*)?(?:=\s*0\s*)?;"
+)
+_C_KEYWORDS = {"if", "while", "for", "switch", "return", "else", "do", "sizeof",
+               "typedef", "struct", "class", "enum", "union"}
+
+
+def _preproc_scopes(L: _Lines) -> list[_Scope]:
+    """Named #ifdef/#ifndef ... #endif intervals — tree-sitter's
+    preproc_ifdef nodes have a name field, so they participate in
+    get_context as enclosing scopes (the C++ golden's #ifndef lines)."""
+    out, stack = [], []
+    for r, line in enumerate(L.lines):
+        if _PP_OPEN.match(line):
+            stack.append((r, bool(_PP_NAMED.match(line))))
+        elif _PP_END.match(line) and stack:
+            start, named = stack.pop()
+            if named:
+                out.append(_Scope(start, r))
+    return out
+
+
+def _c_body_kind(L: _Lines, r: int):
+    """Does the declaration starting at row r open a braced body before
+    the statement ends? -> ('{' row) or None."""
+    for i in range(r, min(r + 20, len(L.lines))):
+        line = L.lines[i]
+        brace = line.find("{")
+        semi = line.find(";")
+        if brace != -1 and (semi == -1 or brace < semi):
+            return i
+        if semi != -1:
+            return None
+    return None
 
 
 def _scan_c(L: _Lines):
+    """C/C++ combined per the reference (cpp uses C_TAG_QUERY +
+    CPP_TAG_QUERY, codebased/parser.py:475-478): typedefs -> type,
+    struct/class with body -> struct/class, method declarations inside
+    class bodies -> method (constructors/destructors excluded — their
+    declarator is not a field_identifier), function definitions ->
+    function (namespace-qualified -> method)."""
     out = []
-    scopes: list[tuple[int, _Scope]] = []
-    for r, line in enumerate(L.lines):
+    pp = _preproc_scopes(L)
+    scopes: list[tuple[int, _Scope, bool]] = []  # (indent, scope, is_record)
+
+    def ctx_scopes(row):
+        enclosing = [s for s in pp if s.start_row < row <= s.end_row]
+        enclosing += [sc for _, sc, _ in scopes]
+        return sorted(enclosing, key=lambda sc: sc.start_row)
+
+    r = 0
+    while r < len(L.lines):
+        line = L.lines[r]
         ind = _indent_of(line)
         while scopes and r > scopes[-1][1].end_row:
             scopes.pop()
-        m = _C_STRUCT.match(line)
-        if m:
-            kind = "definition.class" if m.group(2) == "class" else "definition.struct"
-            end = _brace_block_end(L, r)
-            before, after = _context([s for _, s in scopes], r, end)
-            col = line.find(m.group(2))
-            out.append(Obj(m.group(3), kind, r, col, end, len(L.lines[end]),
-                           L.byte_at(r, col), L.line_end_byte(end), before, after))
-            scopes.append((ind, _Scope(r, end)))
+        in_record = bool(scopes) and scopes[-1][2]
+
+        if _C_TYPEDEF.match(line):
+            brow = _c_body_kind(L, r)
+            end = _brace_block_end(L, brow) if brow is not None else _stmt_end(L, r)
+            stmt = "\n".join(L.lines[r : end + 1])
+            if brow is not None or "(" not in stmt:  # skip fn-pointer typedefs
+                m = re.search(r"([A-Za-z_]\w*)\s*;\s*$", L.lines[end])
+                if m:
+                    before, after = _context(ctx_scopes(r), r, end)
+                    out.append(Obj(m.group(1), "definition.type", r, 0, end,
+                                   len(L.lines[end]), L.byte_at(r, 0),
+                                   L.line_end_byte(end), before, after))
+            r = end + 1
             continue
-        m = _C_FUNC.match(line)
-        if m and m.group(2) not in _C_KEYWORDS:
-            brace_row = r if "{" in line else (r + 1 if r + 1 < len(L.lines) and L.lines[r + 1].strip().startswith("{") else -1)
-            if brace_row < 0:
+
+        m = _C_STRUCT.match(line)
+        if m and not line.rstrip().endswith(";"):
+            brow = _c_body_kind(L, r)
+            if brow is not None:
+                kind = "definition.class" if m.group(2) == "class" else "definition.struct"
+                end = _brace_block_end(L, brow)
+                before, after = _context(ctx_scopes(r), r, end)
+                col = line.find(m.group(2))
+                out.append(Obj(m.group(3), kind, r, col, end, len(L.lines[end]),
+                               L.byte_at(r, col), L.line_end_byte(end), before, after))
+                scopes.append((ind, _Scope(r, end), True))
+                r += 1
                 continue
-            end = _brace_block_end(L, brace_row)
-            before, after = _context([s for _, s in scopes], r, end)
-            out.append(Obj(m.group(2), "definition.method" if scopes else "definition.function",
-                           r, ind, end, len(L.lines[end]),
-                           L.byte_at(r, ind), L.line_end_byte(end), before, after))
+
+        m = _C_ENUM.match(line)
+        if m and _c_body_kind(L, r) is not None:
+            end = _brace_block_end(L, r)
+            before, after = _context(ctx_scopes(r), r, end)
+            out.append(Obj(m.group(2), "definition.type", r, ind, end,
+                           len(L.lines[end]), L.byte_at(r, ind),
+                           L.line_end_byte(end), before, after))
+            r = end + 1
+            continue
+
+        if in_record:
+            m = _CPP_METHOD_DECL.match(line)
+            if m and m.group(1) not in _C_KEYWORDS:
+                end = _stmt_end(L, r)
+                before, after = _context(ctx_scopes(r), r, end)
+                out.append(Obj(m.group(1), "definition.method", r, ind, end,
+                               len(L.lines[end]), L.byte_at(r, ind),
+                               L.line_end_byte(end), before, after))
+                r += 1
+                continue
+
+        m = _C_FUNC.match(line)
+        if m:
+            name = m.group(2)
+            base = name.rsplit("::", 1)[-1]
+            if base not in _C_KEYWORDS and not base.startswith("~"):
+                brow = r if "{" in line else (
+                    r + 1 if r + 1 < len(L.lines) and L.lines[r + 1].strip().startswith("{")
+                    else -1
+                )
+                if brow >= 0:
+                    end = _brace_block_end(L, brow)
+                    before, after = _context(ctx_scopes(r), r, end)
+                    kind = ("definition.method" if ("::" in name or in_record)
+                            else "definition.function")
+                    out.append(Obj(base, kind, r, ind, end, len(L.lines[end]),
+                                   L.byte_at(r, ind), L.line_end_byte(end),
+                                   before, after))
+                    r += 1
+                    continue
+        r += 1
     return out
 
 
 _PHP_CLASS = re.compile(r"^(\s*)(?:abstract\s+|final\s+)?(class|interface|trait)\s+([A-Za-z_]\w*)")
 _PHP_FUNC = re.compile(r"^(\s*)(?:(?:public|private|protected|static)\s+)*function\s+([A-Za-z_]\w*)")
+_PHP_FIELD = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|var|readonly)\s+)+"
+    r"[\w\?\\]*\s*\$([A-Za-z_]\w*)"
+)
 
 
 def _scan_php(L: _Lines):
@@ -448,6 +572,14 @@ def _scan_php(L: _Lines):
             kind = "definition.method" if scopes else "definition.function"
             out.append(Obj(m.group(2), kind, r, ind, end, len(L.lines[end]),
                            L.byte_at(r, ind), L.line_end_byte(end), before, after))
+            continue
+        m = _PHP_FIELD.match(line)
+        if m and scopes:
+            end = _stmt_end(L, r)
+            before, after = _context([s for _, s in scopes], r, end)
+            out.append(Obj(m.group(2), "definition.field", r, ind, end,
+                           len(L.lines[end]), L.byte_at(r, ind),
+                           L.line_end_byte(end), before, after))
     return out
 
 

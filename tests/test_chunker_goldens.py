@@ -1,0 +1,324 @@
+"""Remaining reference parser goldens (tests/test_parser.py:74-617):
+C++ headers, C headers (dispatched to cpp), Rust, C#, Go, Java, Ruby,
+PHP — names, kinds, and context lines exactly as the reference asserts."""
+
+import textwrap
+
+from codebased_spark.operators.chunker import chunk_text
+
+
+def _nk(objs):
+    return [(o.name, o.kind) for o in objs]
+
+
+def test_cpp_header_golden():
+    src = textwrap.dedent(
+        """
+        #ifndef SHAPES_H
+        #define SHAPES_H
+
+        #include <iostream>
+
+        struct Point {
+            double x;
+            double y;
+        };
+
+        class Shape {
+        public:
+            Shape();
+            virtual ~Shape();
+            virtual double area() = 0;
+        };
+
+        class Circle : public Shape {
+        public:
+            Circle(double radius);
+            double area() override;
+        private:
+            double radius_;
+        };
+
+        class Rectangle : public Shape {
+        public:
+            Rectangle(double width, double height);
+            double area() override;
+        private:
+            double width_;
+            double height_;
+        };
+
+        #endif
+        """
+    )
+    objs = chunk_text("src/shapes.h", "cpp", src)
+    assert _nk(objs) == [
+        ("src/shapes.h", "file"),
+        ("Point", "definition.struct"),
+        ("Shape", "definition.class"),
+        ("area", "definition.method"),
+        ("Circle", "definition.class"),
+        ("area", "definition.method"),
+        ("Rectangle", "definition.class"),
+        ("area", "definition.method"),
+    ]
+    lines = src.split("\n")
+    ifndef, endif = lines.index("#ifndef SHAPES_H"), lines.index("#endif")
+    _, point, shape, s_area, circle, c_area, rect, r_area = objs
+    for o in (point, shape, circle, rect):
+        assert o.context_before == [ifndef], o.name
+        assert o.context_after == [endif], o.name
+    assert s_area.context_before == [ifndef, shape.start_row]
+    assert s_area.context_after == [endif, shape.end_row]
+    assert c_area.context_before == [ifndef, circle.start_row]
+    assert c_area.context_after == [endif, circle.end_row]
+    assert r_area.context_before == [ifndef, rect.start_row]
+    assert r_area.context_after == [endif, rect.end_row]
+
+
+def test_c_header_golden():
+    src = textwrap.dedent(
+        """
+        #ifndef SHAPES_H
+        #define SHAPES_H
+
+        #include <stdio.h>
+
+        typedef struct {
+            double x;
+            double y;
+        } Point;
+
+        typedef struct Shape Shape;
+
+        typedef double (*AreaFunc)(const Shape*);
+
+        struct Shape {
+            AreaFunc area;
+        };
+
+        typedef struct {
+            Shape base;
+            double radius;
+        } Circle;
+
+        typedef struct {
+            Shape base;
+            double width;
+            double height;
+        } Rectangle;
+
+        double circle_area(const Shape* shape);
+        double rectangle_area(const Shape* shape);
+
+        Circle* create_circle(double radius);
+        Rectangle* create_rectangle(double width, double height);
+
+        void destroy_shape(Shape* shape);
+
+        #endif
+        """
+    )
+    # .h dispatches to cpp in the reference (tests/test_parser.py:234)
+    objs = chunk_text("src/shapes.h", "cpp", src)
+    assert _nk(objs) == [
+        ("src/shapes.h", "file"),
+        ("Point", "definition.type"),
+        ("Shape", "definition.type"),
+        ("Shape", "definition.struct"),
+        ("Circle", "definition.type"),
+        ("Rectangle", "definition.type"),
+    ]
+    lines = src.split("\n")
+    ifndef, endif = lines.index("#ifndef SHAPES_H"), lines.index("#endif")
+    for o in objs[1:]:
+        assert o.context_before == [ifndef], o.name
+        assert o.context_after == [endif], o.name
+
+
+def test_rust_golden():
+    src = textwrap.dedent(
+        """
+        #[derive(Debug)]
+        pub struct Point {
+            x: f64,
+            y: f64,
+        }
+
+        impl Point {
+            pub fn new(x: f64, y: f64) -> Self {
+                Self { x, y }
+            }
+        }
+
+        fn main() {
+            let p = Point::new(1.0, 2.0);
+            println!("Hello, world!");
+        }
+        """
+    )
+    objs = chunk_text("src/main.rs", "rust", src)
+    assert _nk(objs) == [
+        ("src/main.rs", "file"),
+        ("Point", "definition.struct"),
+        ("Point", "definition.struct.impl"),
+        ("new", "definition.function"),
+        ("main", "definition.function"),
+    ]
+    _, _point, impl_o, new_o, main_o = objs
+    assert new_o.context_before == [impl_o.start_row]
+    assert new_o.context_after == [impl_o.end_row]
+    assert main_o.context_before == [] and main_o.context_after == []
+
+
+def test_csharp_golden():
+    src = textwrap.dedent(
+        """
+        public class Point {
+            public double X { get; set; }
+            public double Y { get; set; }
+        }
+
+        public static void Main() {
+            var p = new Point { X = 1, Y = 2 };
+            Console.WriteLine("Hello, world!");
+        }
+        """
+    )
+    objs = chunk_text("src/Main.cs", "csharp", src)
+    # reference: only file + class (top-level Main is a grammar error)
+    assert _nk(objs) == [("src/Main.cs", "file"), ("Point", "definition.class")]
+    assert objs[1].context_before == []
+
+
+def test_go_golden():
+    src = textwrap.dedent(
+        """
+        package main
+
+        import "fmt"
+
+        type Point struct {
+            X float64
+            Y float64
+        }
+
+        func (*Point) Area() float64 {
+            return 0
+        }
+
+        func main() {
+            p := Point{X: 1, Y: 2}
+            fmt.Println("Hello, world!")
+        }
+        """
+    )
+    objs = chunk_text("src/main.go", "go", src)
+    assert _nk(objs) == [
+        ("src/main.go", "file"),
+        ("Point", "definition.type"),
+        ("Area", "definition.method"),
+        ("main", "definition.function"),
+    ]
+    assert all(o.context_before == [] for o in objs)
+
+
+def test_java_golden():
+    src = textwrap.dedent(
+        """
+        public class Point {
+            public double x;
+            public double y;
+
+            public double area() {
+                return 0;
+            }
+        }
+
+        public class Main {
+            public static void main(String[] args) {
+                Point p = new Point();
+                System.out.println("Hello, world!");
+            }
+        }
+        """
+    )
+    objs = chunk_text("src/Main.java", "java", src)
+    assert _nk(objs) == [
+        ("src/Main.java", "file"),
+        ("Point", "definition.class"),
+        ("area", "definition.method"),
+        ("Main", "definition.class"),
+        ("main", "definition.method"),
+    ]
+    _, point, area, main_c, main_m = objs
+    assert area.context_before == [point.start_row]
+    assert area.context_after == [point.end_row]
+    assert main_m.context_before == [main_c.start_row]
+    assert main_m.context_after == [main_c.end_row]
+
+
+def test_ruby_golden():
+    src = textwrap.dedent(
+        """
+        class Point
+            attr_accessor :x, :y
+
+            def area
+                0
+            end
+        end
+
+        def main
+            p = Point.new
+            puts "Hello, world!"
+        end
+        """
+    )
+    objs = chunk_text("src/main.rb", "ruby", src)
+    assert _nk(objs) == [
+        ("src/main.rb", "file"),
+        ("Point", "definition.class"),
+        ("area", "definition.method"),
+        ("main", "definition.method"),
+    ]
+    _, point, area, main_o = objs
+    assert area.context_before == [point.start_row]
+    assert area.context_after == [point.end_row]
+    assert main_o.context_before == [] and main_o.context_after == []
+
+
+def test_php_golden():
+    src = textwrap.dedent(
+        """
+        <?php
+
+        class Point {
+            public double $x;
+            public double $y;
+
+            public function area(): float {
+                return 0;
+            }
+        }
+
+        function main() {
+            $p = new Point();
+            echo "Hello, world!";
+        }
+        """
+    )
+    objs = chunk_text("src/main.php", "php", src)
+    assert _nk(objs) == [
+        ("src/main.php", "file"),
+        ("Point", "definition.class"),
+        ("x", "definition.field"),
+        ("y", "definition.field"),
+        ("area", "definition.method"),
+        ("main", "definition.function"),
+    ]
+    _, point, x, y, area, main_o = objs
+    for o in (x, y, area):
+        assert o.context_before == [point.start_row], o.name
+        assert o.context_after == [point.end_row], o.name
+    assert main_o.context_before == [] and main_o.context_after == []
