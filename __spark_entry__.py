@@ -484,6 +484,79 @@ WHERE sha256(CASE WHEN doc_id % 50 = 0 THEN reverse(coalesce(text, ''))
 """
 
 
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 streaming-shape agg: tumbling 1-hour windows per
+    event type (the batch twin of the Structured Streaming watermark
+    agg in streaming/incremental.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 window functions: top-2 events per user by value
+    (row_number over a partitioned window — the per-group top-k shape
+    used for per-query branch limits in the batched search)."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+TOPK_PER_USER_SQL = """
+SELECT user_id, event_id, round(value, 4) AS value, rn
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 set-membership joins: customers partitioned into
+    has-orders / no-orders via left-semi + left-anti (the reference's
+    IN-list membership at search.py:143-150 and NOT-IN sweep at
+    index.py:676-690)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_o = c.join(o, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    without = c.join(o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return with_o.unionAll(without)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_orders' AS status FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunctive search over the sf0.001 documents
     corpus, with metadata joined back (reference Q4-Q7 path)."""
@@ -520,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,  # rows-only
         "change_detection": q_change_detection,
         "identifier_split": q_identifier_split,
+        "events_windowed_agg": q_events_windowed_agg,
+        "topk_per_user": q_topk_per_user,
+        "semi_anti_join": q_semi_anti_join,
     }
 
 
@@ -541,6 +617,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_marker_scores": LANG_SQL,
         "change_detection": CHANGE_DETECTION_SQL,
         "identifier_split": IDENTIFIER_SPLIT_SQL,
+        "events_windowed_agg": EVENTS_WINDOW_SQL,
+        "topk_per_user": TOPK_PER_USER_SQL,
+        "semi_anti_join": SEMI_ANTI_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).
