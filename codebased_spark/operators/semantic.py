@@ -1,0 +1,117 @@
+"""Spark-native semantic retrieval + hybrid search (operators Q8/Q9).
+
+The reference's semantic side embeds objects with OpenAI and searches a
+FAISS flat index (codebased/search.py:121-165) — network-bound and out
+of rebuild scope (SURVEY.md §7.6). This module provides the same
+*retrieval capability* with a deterministic, self-contained embedder so
+the full hybrid pipeline (semantic top-k x full-text top-k -> 3-tier
+merge) runs and is testable end-to-end on Spark:
+
+- doc_features: trigram-histogram-projection embeddings (the same
+  featurizer family as operators/multimodal.media_features) — cheap,
+  deterministic, and computed JVM->Arrow batched. Any real embedding
+  column (array<float>) can be swapped in; every downstream operator
+  only sees (doc_id, embedding).
+- semantic_topk: brute-force cosine against the (broadcast) query
+  vector — exact, one scan, TakeOrderedAndProject. The reference quirk
+  of returning range_search results unsorted-then-truncated
+  (search.py:134-138) is NOT reproduced; we sort, which strictly
+  improves recall for the same k.
+- hybrid_search: semantic x fts merge via operators/render.merge_results
+  (tier -1 leading name-matches, tier 0 in-both, tier 1 single-source).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 64
+_PROJ_SEED = 987654321
+
+
+def _projection(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(_PROJ_SEED)
+    return rng.standard_normal((4096, dim)).astype(np.float32)
+
+
+def _embed_texts(texts, dim: int) -> np.ndarray:
+    """Deterministic text embedding: bucketed trigram histogram (4096
+    buckets via the packed trigram id) projected to ``dim``; L2 unit."""
+    from codebased_spark.functions.fts5 import tokenize_packed
+
+    proj = _projection(dim)
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        codes = tokenize_packed(t or "")
+        if codes.size == 0:
+            continue
+        hist = np.bincount((codes % 4096).astype(np.int64), minlength=4096)
+        v = hist.astype(np.float32) @ proj
+        n = float(np.linalg.norm(v))
+        if n > 0:
+            out[i] = v / n
+    return out
+
+
+def doc_features(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(doc_id, embedding array<float>) for every doc (content text)."""
+
+    def batches(it):
+        for pdf in it:
+            vecs = _embed_texts(list(pdf["content"]), dim)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(),
+                 "embedding": [v.tolist() for v in vecs]}
+            )
+
+    return docs.select("doc_id", "content").mapInPandas(
+        batches, "doc_id long, embedding array<float>"
+    )
+
+
+def semantic_topk(
+    features: DataFrame, query_text: str, k: int, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Exact cosine top-k of the embedded query against the feature
+    table. Returns (doc_id, distance) — distance = 1 - cosine, ascending
+    (FAISS-L2-flavored ordering on unit vectors)."""
+    qv = _embed_texts([query_text], dim)[0]
+    q = [float(x) for x in qv]
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.array(*[F.lit(v) for v in q]),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return (
+        features.select(
+            "doc_id",
+            (1.0 - dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_search(index, features: DataFrame, query: str, top_k: int = 32) -> list[dict]:
+    """The reference's search_once composition (codebased/search.py:
+    384-401): semantic top-k + full-text two-branch top-k, merged with
+    the 3-tier ranking. Driver-side merge over <= 2k collected rows."""
+    from codebased_spark.operators.render import merge_results
+
+    fts_rows = [
+        {"doc_id": int(r["doc_id"]), "name_match": bool(r["name_match"]),
+         "score": float(r["score"])}
+        for r in index.search(query, top_k).collect()
+    ]
+    sem_rows = [
+        {"doc_id": int(r["doc_id"]), "distance": float(r["distance"])}
+        for r in semantic_topk(features, query, top_k).collect()
+    ]
+    return merge_results(sem_rows, fts_rows)
