@@ -82,7 +82,13 @@ class FtsIndex:
         d = stats.asDict()
         self.total_dl = int(d.get("total_dl", round(self.avgdl * self.n_docs)))
         self.num_blocks = int(stats["num_blocks"])
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        from codebased_spark.operators.build import POSTING_SCHEMA
+
+        # empty corpora leave the postings dir file-less; pin the schema
+        # so loading never depends on footer inference
+        self.postings = spark.read.schema(POSTING_SCHEMA).parquet(
+            os.path.join(index_dir, "postings")
+        )
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self.posting_files = self._list_posting_files()
         self.deleted = self._load_deleted()

@@ -121,6 +121,29 @@ def test_file_scan_path_matches_df_path(spark, built, query):
     ]
 
 
+def test_empty_and_single_doc_corpora(spark, tmp_path):
+    """Degenerate corpora must build and search cleanly (posting schema
+    is pinned on read, so file-less partition dirs don't break load)."""
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    e = build_index(spark, spark.createDataFrame([], CORPUS_SCHEMA),
+                    str(tmp_path / "e"), num_blocks=2)
+    assert e.n_docs == 0
+    assert e.search("hello", 5).count() == 0
+    assert e.search_batch(["hello"], 5).count() == 0
+
+    s = build_index(
+        spark,
+        spark.createDataFrame(
+            [("r", "a.py", "c" * 40, "python", "X = 1  # hello world")], CORPUS_SCHEMA
+        ),
+        str(tmp_path / "s"), num_blocks=2,
+    )
+    assert s.n_docs == 1
+    hit = s.search("hello world", 5).collect()
+    assert len(hit) == 1 and hit[0]["score"] > 0
+
+
 def test_batch_search_matches_individual(spark, built):
     """search_batch must be bit-identical per query to search(), and
     tolerate invalid/no-match queries mixed into the batch."""
