@@ -386,10 +386,61 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_documents(spark, sf_dir))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from codebased_spark.operators.simsearch import ann_topk_lsh
+def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP path under the oracle (VERDICT r01 #2): build a real
+    posting-list index over the documents corpus and search through
+    FtsIndex.search (pyarrow shard scan + block-local conjunction +
+    two-branch merge) — not the brute-force scorer the other fts gate
+    entries pin. Engine doc_ids are internal; results map back to the
+    table's doc_id through the stored path ('d%09d')."""
+    import shutil
+    import tempfile
 
-    return ann_topk_lsh(_embeddings(spark, sf_dir), probe_vec_id=0, k=10, dim=64)
+    from codebased_spark.plans.engine import build_index
+
+    d = _documents(spark, sf_dir)
+    ident = F.format_string("d%09d", F.col("doc_id"))
+    corpus = d.select(
+        F.lit("docs").alias("repo"),
+        ident.alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    idx_dir = tempfile.mkdtemp(prefix="gate_fts_idx_")
+    try:
+        index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        hits = index.search('"value"', K_ALL)
+        out = (
+            index.doc_stats.select("doc_id", "path")
+            .join(F.broadcast(hits), "doc_id")
+            .select(
+                F.substring("path", 2, 9).cast("long").alias("doc_id"),
+                "name_match",
+                F.round("score", 6).alias("score"),
+            )
+        )
+        # materialize before the tmp index dir is removed
+        rows = out.collect()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via the PERSISTED signature table (build once, query many —
+    VERDICT r01 #5: the one-shot path re-projected every vector per
+    query)."""
+    import os
+    import shutil
+    import tempfile
+
+    from codebased_spark.operators.simsearch import ann_topk_indexed, build_ann_index
+
+    sig_dir = os.path.join(tempfile.gettempdir(), "gate_ann_sigs")
+    shutil.rmtree(sig_dir, ignore_errors=True)
+    build_ann_index(_embeddings(spark, sf_dir), dim=64, out_path=sig_dir)
+    return ann_topk_indexed(spark, sig_dir, probe_vec_id=0, k=10)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_phrase": _fts_query(["fast table"], named=False, top_k=K_ALL),
         "fts_bm25_named_branch": _fts_query(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _fts_query(["customer query"], named=False, top_k=K_ALL),
+        "fts_bm25_index_path": q_fts_index_path,
         "trigram_document_frequency": q_trigram_df,
         "doc_digest_fingerprint": q_doc_digest,
         "dedup_exact": q_dedup_exact,
@@ -605,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_phrase": _bm25_sql(["fast table"], named=False, top_k=K_ALL),
         "fts_bm25_named_branch": _bm25_sql(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _bm25_sql(["customer query"], named=False, top_k=K_ALL),
+        "fts_bm25_index_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
         "trigram_document_frequency": TRIGRAM_DF_SQL,
         "doc_digest_fingerprint": DOC_DIGEST_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

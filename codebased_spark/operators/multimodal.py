@@ -24,13 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover — not installed in this runtime
-    from PIL import Image  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:  # pragma: no cover
-    HAVE_PIL = False
-
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "width int, height int, channels int, sample_rate int, n_frames int"
@@ -69,17 +62,36 @@ def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: tile payload bytes into (h, w, c)
-    uint8. Replace with PIL decode when available."""
+    uint8. Used when no real codec can open the payload."""
     need = w * h * c
     buf = np.frombuffer((payload * (need // max(len(payload), 1) + 1))[:need], dtype=np.uint8)
     return buf.reshape(h, w, c)
 
 
+def _decode_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """(h', w', c') uint8 pixels. Tries a REAL decode first (PIL,
+    imported lazily so executors and tests resolve it independently);
+    payloads PIL can't open — including this repo's synthetic corpora —
+    fall back to the deterministic fake. Swapping in real data changes
+    nothing upstream: same schema, same batch shape."""
+    try:  # real codec path
+        import io
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(payload)))
+        if arr.ndim == 2:  # grayscale -> single channel
+            arr = arr[:, :, None]
+        return arr
+    except Exception:
+        return _fake_pixels(payload, w, h, c)
+
+
 def decode_image_stats(media: DataFrame) -> DataFrame:
     """Image payloads -> per-channel mean/std (the canonical "decode +
-    reduce" shape). Real codec when PIL exists, else the fake decoder;
-    either way the Spark plumbing (binary in, numeric columns out,
-    one Arrow batch per ~10k rows) is identical."""
+    reduce" shape). Real codec when PIL can open the payload, else the
+    fake decoder; either way the Spark plumbing (binary in, numeric
+    columns out, one Arrow batch per ~10k rows) is identical."""
 
     def batches(it):
         for pdf in it:
@@ -87,11 +99,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
             for mid, payload, w, h, c in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"], pdf["channels"]
             ):
-                if HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real PIL decode goes here; container has no PIL"
-                    )
-                px = _fake_pixels(bytes(payload), int(w), int(h), int(c)).astype(np.float64)
+                px = _decode_pixels(bytes(payload), int(w), int(h), int(c)).astype(np.float64)
                 out.append(
                     (int(mid), [float(x) for x in px.mean(axis=(0, 1))],
                      [float(x) for x in px.std(axis=(0, 1))])

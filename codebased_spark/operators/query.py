@@ -296,8 +296,25 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None):
     return stats, doc_frame
 
 
-def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
-    """applyInPandas over one block's posting rows.
+_CAND_COLS = ["kind", "phrase", "df_all", "df_name", "doc_id", "dl",
+              "tfs_all", "tfs_name"]
+
+
+def _empty_cand_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"kind": pd.array([], dtype="int32"),
+         "phrase": pd.array([], dtype="int32"),
+         "df_all": pd.array([], dtype="int64"),
+         "df_name": pd.array([], dtype="int64"),
+         "doc_id": pd.array([], dtype="int64"),
+         "dl": pd.array([], dtype="int64"),
+         "tfs_all": pd.Series([], dtype="object"),
+         "tfs_name": pd.Series([], dtype="object")}
+    )
+
+
+def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted) -> pd.DataFrame:
+    """One block's posting rows -> candidate rows.
 
     Emits TWO row kinds (the conjunction and the per-doc aggregation are
     pushed INTO the block task, so no doc-keyed shuffle ever happens):
@@ -310,39 +327,73 @@ def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None
       BM25 sum happens later as a codegen'd projection; survivors of the
       conjunction are typically a small fraction of per-phrase matches.
     """
-    cols = ["kind", "phrase", "df_all", "df_name", "doc_id", "dl",
-            "tfs_all", "tfs_name"]
+    rows = {
+        (int(r["term"]), int(r["col"])): _Row(r)
+        for _, r in pdf.iterrows()
+    }
+    stats, doc_frame = _query_block_frames(rows, phrase_term_ids, deleted)
+    frames = []
+    if stats:
+        frames.append(pd.DataFrame(
+            [(0, pi, da, dn, 0, 0, None, None) for pi, da, dn in stats],
+            columns=_CAND_COLS))
+    if doc_frame is not None:
+        common, dl, ta, tn = doc_frame
+        frames.append(pd.DataFrame(
+            {"kind": 1, "phrase": -1, "df_all": 0, "df_name": 0,
+             "doc_id": common, "dl": dl, "tfs_all": ta, "tfs_name": tn}))
+    if not frames:
+        return _empty_cand_pdf()
+    return pd.concat(frames, ignore_index=True)
+
+
+def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
+    """applyInPandas wrapper over :func:`_block_candidates_pdf` with a
+    fixed (driver-provided) tombstone array — the no-deletes path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = {
-            (int(r["term"]), int(r["col"])): _Row(r)
-            for _, r in pdf.iterrows()
-        }
-        stats, doc_frame = _query_block_frames(rows, phrase_term_ids, deleted)
-        frames = []
-        if stats:
-            frames.append(pd.DataFrame(
-                [(0, pi, da, dn, 0, 0, None, None) for pi, da, dn in stats],
-                columns=cols))
-        if doc_frame is not None:
-            common, dl, ta, tn = doc_frame
-            frames.append(pd.DataFrame(
-                {"kind": 1, "phrase": -1, "df_all": 0, "df_name": 0,
-                 "doc_id": common, "dl": dl, "tfs_all": ta, "tfs_name": tn}))
-        if not frames:
-            return pd.DataFrame(
-                {"kind": pd.array([], dtype="int32"),
-                 "phrase": pd.array([], dtype="int32"),
-                 "df_all": pd.array([], dtype="int64"),
-                 "df_name": pd.array([], dtype="int64"),
-                 "doc_id": pd.array([], dtype="int64"),
-                 "dl": pd.array([], dtype="int64"),
-                 "tfs_all": pd.Series([], dtype="object"),
-                 "tfs_name": pd.Series([], dtype="object")}
-            )
-        return pd.concat(frames, ignore_index=True)
+        return _block_candidates_pdf(pdf, phrase_term_ids, deleted)
 
     return fn
+
+
+def _cogroup_candidates_fn(phrase_term_ids: list[list[int]]):
+    """Cogrouped applyInPandas: (posting rows, tombstone rows) per
+    pblock. Tombstones arrive as ordinary shuffled rows — never through
+    the driver or a UDF closure — so the deleted set scales with the
+    cluster, not the driver heap."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return _empty_cand_pdf()
+        deleted = None
+        if len(right):
+            deleted = np.unique(right["doc_id"].to_numpy().astype("int64"))
+        return _block_candidates_pdf(left, phrase_term_ids, deleted)
+
+    return fn
+
+
+def _load_block_tombstones(deletes_dir, pblock: int, cache: dict):
+    """Task-side read of one pblock's tombstones (deletes/pblock=N/...).
+    O(|block tombstones|) per task; nothing driver-side."""
+    if deletes_dir is None:
+        return None
+    key = int(pblock)
+    if key in cache:
+        return cache[key]
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(deletes_dir, f"pblock={key}")
+    out = None
+    if os.path.isdir(d):
+        arr = pq.read_table(d, columns=["doc_id"])["doc_id"].to_numpy()
+        if arr.size:
+            out = np.unique(arr.astype("int64"))
+    cache[key] = out
+    return out
 
 
 CAND2_SCHEMA = (
@@ -353,7 +404,7 @@ CAND2_SCHEMA = (
 BATCH_SCHEMA = "qid int, " + CAND2_SCHEMA
 
 
-def _batch_candidates_fn(queries_terms, needed, deleted=None):
+def _batch_candidates_fn(queries_terms, needed, deletes_dir=None):
     """mapInPandas over (pblock, path) rows for MANY queries at once:
     one pyarrow scan + one set of _Row handles per block serves every
     query; a per-(phrase) memo means queries sharing phrases decode and
@@ -364,14 +415,16 @@ def _batch_candidates_fn(queries_terms, needed, deleted=None):
     def fn(it):
         import pyarrow.parquet as pq
 
+        tomb_cache: dict = {}
         for pdf in it:
-            for _pblock, path in zip(pdf["pblock"], pdf["path"]):
+            for pblock, path in zip(pdf["pblock"], pdf["path"]):
                 tbl = pq.read_table(
                     path, filters=[("term", "in", list(needed))],
                     columns=_POSTING_READ_COLUMNS,
                 )
                 if tbl.num_rows == 0:
                     continue
+                deleted = _load_block_tombstones(deletes_dir, pblock, tomb_cache)
                 block = tbl.to_pandas()
                 rows = {
                     (int(r["term"]), int(r["col"])): _Row(r)
@@ -408,7 +461,7 @@ def search_index_files_batch(
     n_docs: int,
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
-    deleted=None,
+    deletes_dir=None,
 ) -> DataFrame:
     """Batched two-branch FTS search: one shared posting scan for all
     queries, then per-query branch top-k via windows — 2 Spark jobs
@@ -432,7 +485,8 @@ def search_index_files_batch(
     files_df = spark.createDataFrame(posting_files, "pblock int, path string")
     n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
     cand = files_df.repartition(n_part).mapInPandas(
-        _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed, deleted),
+        _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed,
+                             deletes_dir),
         BATCH_SCHEMA,
     ).persist()
     try:
@@ -501,18 +555,18 @@ _POSTING_READ_COLUMNS = [
 
 
 def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
-                        deleted=None):
+                        deletes_dir=None):
     """mapInPandas over rows of (pblock, path): a pyarrow-native posting
     scan. Spark's vectorized parquet reader must decode a whole row
     group of the (large) blob columns before filtering; pyarrow's C++
     reader with a term filter + column selection is ~5-10x cheaper per
     query, and each task reads only its own block's shard files — the
     custom-scan escape hatch the DataFrame API can't express."""
-    inner = _candidates_fn(phrase_term_ids, deleted)
 
     def fn(it):
         import pyarrow.parquet as pq
 
+        tomb_cache: dict = {}
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
                 tbl = pq.read_table(
@@ -522,7 +576,8 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
                 )
                 if tbl.num_rows == 0:
                     continue
-                out = inner(tbl.to_pandas())
+                deleted = _load_block_tombstones(deletes_dir, pblock, tomb_cache)
+                out = _block_candidates_pdf(tbl.to_pandas(), phrase_term_ids, deleted)
                 if len(out):
                     yield out
 
@@ -541,14 +596,21 @@ def search_index(
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
     deleted=None,
+    deletes: "DataFrame | None" = None,
 ) -> DataFrame:
-    """Full two-branch FTS search over the posting index.
+    """Full two-branch FTS search over the posting index (the generic
+    DataFrame scan — works against any Spark-readable store).
 
     postings: the posting rows DataFrame (parquet-backed). Candidate
     rows carry dl straight from the posting blobs, so no doc-stats join
     happens at query time (join-free scoring).
+    ``deletes`` (a doc_id DataFrame) distributes tombstones by cogrouping
+    them with the posting rows per pblock; ``deleted`` (numpy array) is
+    the legacy driver-side variant kept for tests.
     Returns (doc_id, name_match, rank, score) best-first.
     """
+    from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS
+
     spark = postings.sparkSession
     empty = spark.createDataFrame(
         [], "doc_id long, name_match boolean, rank double, score double"
@@ -561,9 +623,18 @@ def search_index(
     needed = sorted({t for ts in term_ids for t in ts})
 
     pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
-    cand = pruned.groupBy("pblock").applyInPandas(
-        _candidates_fn(term_ids, deleted), CAND2_SCHEMA
-    )
+    if deletes is not None:
+        dd = deletes.select(
+            F.shiftright("doc_id", DOC_ID_BLOCK_BITS).cast("int").alias("pblock"),
+            "doc_id",
+        )
+        cand = pruned.groupBy("pblock").cogroup(dd.groupBy("pblock")).applyInPandas(
+            _cogroup_candidates_fn(term_ids), CAND2_SCHEMA
+        )
+    else:
+        cand = pruned.groupBy("pblock").applyInPandas(
+            _candidates_fn(term_ids, deleted), CAND2_SCHEMA
+        )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 
 
@@ -574,10 +645,11 @@ def search_index_files(
     n_docs: int,
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
-    deleted=None,
+    deletes_dir=None,
 ) -> DataFrame:
     """Like search_index, but candidates come from the pyarrow custom
-    scan over (pblock, file) rows — the low-latency path FtsIndex uses."""
+    scan over (pblock, file) rows — the low-latency path FtsIndex uses.
+    Tombstones are read task-side per pblock from ``deletes_dir``."""
     empty = spark.createDataFrame(
         [], "doc_id long, name_match boolean, rank double, score double"
     )
@@ -590,7 +662,7 @@ def search_index_files(
     files_df = spark.createDataFrame(posting_files, "pblock int, path string")
     n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
     cand = files_df.repartition(n_part).mapInPandas(
-        _file_candidates_fn(term_ids, needed, deleted), CAND2_SCHEMA
+        _file_candidates_fn(term_ids, needed, deletes_dir), CAND2_SCHEMA
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 

@@ -72,6 +72,75 @@ def doc_features(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
+def doc_features_cached(
+    spark,
+    docs: DataFrame,
+    cache_dir: str,
+    dim: int = FEATURE_DIM,
+    counter=None,
+) -> DataFrame:
+    """(doc_id, embedding) with a persistent sha256-keyed cache — the
+    reference's embedding cache (codebased/index.py:609-626: content
+    hash -> embedding, survives deletes so re-added content is free).
+
+    Only docs whose sha256 is NOT in the cache are embedded, and within
+    the batch each distinct content embeds ONCE (identical files across
+    repos share one row) — at 100 TB the embed step is the expensive
+    one, so the cache join (a sha-keyed semi/anti join, never content)
+    is what makes incremental rebuilds cheap. New (sha256, embedding)
+    rows are appended to the cache afterwards.
+
+    ``counter`` (an optional Spark accumulator) counts texts actually
+    embedded — the test hook proving unchanged docs cost nothing.
+    """
+    from codebased_spark.plans.fsio import IndexFS
+
+    fs = IndexFS(spark, cache_dir)
+    keyed = docs.select("doc_id", "sha256", "content")
+    cache = None
+    if fs.exists(cache_dir) and any(
+        p.endswith(".parquet") for p, _ in fs.list_files(cache_dir)
+    ):
+        cache = spark.read.parquet(cache_dir)
+
+    if cache is not None:
+        hits = keyed.join(cache, "sha256").select("doc_id", "embedding")
+        misses = keyed.join(cache.select("sha256"), "sha256", "left_anti")
+    else:
+        hits = None
+        misses = keyed
+
+    def batches(it):
+        for pdf in it:
+            if counter is not None:
+                counter.add(len(pdf))
+            vecs = _embed_texts(list(pdf["content"]), dim)
+            yield pd.DataFrame(
+                {"sha256": pdf["sha256"],
+                 "embedding": [v.tolist() for v in vecs]}
+            )
+
+    fresh = (
+        misses.select("sha256", "content")
+        .dropDuplicates(["sha256"])
+        .mapInPandas(batches, "sha256 string, embedding array<float>")
+        # materialize BEFORE touching the cache dir: writing to a path
+        # invalidates cached plans reading it (refreshByPath), which
+        # would silently re-run the embed against the mutated cache
+        .localCheckpoint(eager=True)
+    )
+    out = misses.select("doc_id", "sha256").join(fresh, "sha256").select(
+        "doc_id", "embedding"
+    )
+    if hits is not None:
+        out = hits.unionByName(out)
+    out = out.localCheckpoint(eager=True)  # cut cache-dir lineage pre-append
+
+    if fresh.limit(1).count():
+        fresh.write.mode("append").parquet(cache_dir)
+    return out
+
+
 def semantic_topk(
     features: DataFrame, query_text: str, k: int, dim: int = FEATURE_DIM
 ) -> DataFrame:

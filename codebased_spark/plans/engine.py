@@ -4,6 +4,7 @@ On-disk layout (<index_dir>/):
   doc_stats/    parquet — per-doc metadata + lengths (no content)
   postings/     parquet partitioned by pblock, rows sorted by (term, col)
   corpus_stats/ parquet — single row (n_docs, avgdl, num_blocks, version)
+  deletes/      parquet partitioned by pblock — tombstoned doc_ids
   _manifest/    one JSON per completed stage with lineage + metrics
 
 Resumability (north_rule): each stage commits atomically (parquet
@@ -15,68 +16,89 @@ per-pblock row counts and byte sizes — the per-partition lineage +
 metrics record. (Reference analogue: single SQLite transaction + fts
 'optimize' at codebased/index.py:336,668-672; stats dump at
 codebased/stats.py:59-69.)
+
+Storage: all lifecycle IO goes through plans/fsio.IndexFS, so the index
+may live on HDFS/S3A as well as local disk. On local disk queries use
+the pyarrow shard fast path; on remote stores they fall back to the
+generic DataFrame scan (same results by test) with tombstones applied
+via a per-block cogroup — nothing is ever materialized on the driver.
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from codebased_spark import DEFAULT_TOP_K, __version__
+from codebased_spark import DEFAULT_TOP_K
 from codebased_spark.operators.build import build_postings_fused
-from codebased_spark.operators.docs import build_docs
+from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS, build_docs
+from codebased_spark.plans.fsio import IndexFS, is_local, local_path
 
-FORMAT_VERSION = 1
+# v2: deletes/ is partitioned by pblock (task-side tombstone reads — the
+# round-1 driver-materialized numpy array is gone from the query path).
+FORMAT_VERSION = 2
 
 
-def _postings_footer_metrics(postings_dir: str) -> dict:
+def _join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def _postings_footer_metrics(fs: IndexFS, postings_dir: str) -> dict:
     """Per-block lineage metrics straight from parquet footers + the
-    filesystem — zero Spark jobs (driver-side, O(#files))."""
-    import pyarrow.parquet as pq
-
+    filesystem — zero Spark jobs (driver-side, O(#files)). On remote
+    stores rows come from the footer via the same listing; bytes always
+    from FileStatus."""
     out: dict[str, dict] = {}
-    for root, _dirs, files in os.walk(postings_dir):
-        base = os.path.basename(root)
-        if not base.startswith("pblock="):
+    local = is_local(postings_dir)
+    if local:
+        import pyarrow.parquet as pq
+    for path, size in fs.list_files(postings_dir):
+        if not path.endswith(".parquet"):
             continue
-        pb = base.split("=", 1)[1]
-        rows = 0
-        size = 0
-        for fn in files:
-            if fn.endswith(".parquet"):
-                full = os.path.join(root, fn)
-                rows += pq.ParquetFile(full).metadata.num_rows
-                size += os.path.getsize(full)
-        out[pb] = {"rows": rows, "bytes": size}
+        seg = [s for s in path.split("/") if s.startswith("pblock=")]
+        if not seg:
+            continue
+        pb = seg[-1].split("=", 1)[1]
+        ent = out.setdefault(pb, {"rows": 0, "bytes": 0})
+        ent["bytes"] += size
+        if local:
+            ent["rows"] += pq.ParquetFile(local_path(path)).metadata.num_rows
+        else:
+            ent["rows"] = None  # avoid N remote footer round-trips
     return out
 
 
 def _manifest_path(index_dir: str, stage: str) -> str:
-    return os.path.join(index_dir, "_manifest", f"{stage}.json")
+    return _join(index_dir, "_manifest", f"{stage}.json")
 
 
-def _stage_done(index_dir: str, stage: str) -> bool:
-    return os.path.exists(_manifest_path(index_dir, stage))
+def _stage_done(fs: IndexFS, index_dir: str, stage: str) -> bool:
+    return fs.exists(_manifest_path(index_dir, stage))
 
 
-def _write_manifest(index_dir: str, stage: str, payload: dict) -> None:
-    os.makedirs(os.path.join(index_dir, "_manifest"), exist_ok=True)
-    tmp = _manifest_path(index_dir, stage) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True)
-    os.replace(tmp, _manifest_path(index_dir, stage))
+def _read_manifest(fs: IndexFS, index_dir: str, stage: str) -> dict:
+    return fs.read_json(_manifest_path(index_dir, stage))
+
+
+def _write_manifest(fs: IndexFS, index_dir: str, stage: str, payload: dict) -> None:
+    fs.write_json(_manifest_path(index_dir, stage), payload)
 
 
 class FtsIndex:
-    """A loaded index: handles to the three tables + broadcast scalars."""
+    """A loaded index: handles to the tables + broadcast scalars."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        stats = spark.read.parquet(os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.fs = IndexFS(spark, index_dir)
+        stats = spark.read.parquet(_join(index_dir, "corpus_stats")).collect()[0]
+        version = int(stats.asDict().get("version", 0))
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format v{version}, engine expects "
+                f"v{FORMAT_VERSION} — rebuild (build_index) or compact with a "
+                f"matching engine version"
+            )
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         d = stats.asDict()
@@ -87,43 +109,56 @@ class FtsIndex:
         # empty corpora leave the postings dir file-less; pin the schema
         # so loading never depends on footer inference
         self.postings = spark.read.schema(POSTING_SCHEMA).parquet(
-            os.path.join(index_dir, "postings")
+            _join(index_dir, "postings")
         )
-        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.doc_stats = spark.read.parquet(_join(index_dir, "doc_stats"))
         self.posting_files = self._list_posting_files()
-        self.deleted = self._load_deleted()
+        self.deletes_dir = _join(index_dir, "deletes")
+        self.has_deletes = self.fs.exists(self.deletes_dir)
+        self._deleted = None
         # Q13 search cache (codebased/index.py:186-209): per-(query, k)
         # memo of materialized results; a reload (incremental commit
         # returns a fresh FtsIndex) starts clean, mirroring the
         # clear-on-commit at codebased/index.py:668-669.
         self._search_cache: dict[tuple[str, int], DataFrame] = {}
 
-    def _load_deleted(self):
-        """Tombstoned doc_ids from incremental updates (sorted int64
-        array, None when absent). Applied inside the candidate scan so
-        deleted docs affect neither matches nor df/idf."""
+    def deletes_df(self) -> "DataFrame | None":
+        """Tombstoned doc_ids as a DataFrame (None when absent) — the
+        distributed handle every engine path uses; nothing is collected."""
+        if not self.has_deletes:
+            return None
+        return self.spark.read.parquet(self.deletes_dir).select("doc_id")
+
+    @property
+    def deleted(self):
+        """Tombstoned doc_ids as a sorted int64 numpy array — a DRIVER
+        materialization for tests/inspection and tiny indexes only; the
+        query path reads tombstones task-side per pblock."""
         import numpy as np
 
-        d = os.path.join(self.index_dir, "deletes")
-        if not os.path.isdir(d):
+        if not self.has_deletes:
             return None
-        arr = (
-            self.spark.read.parquet(d).select("doc_id").toPandas()["doc_id"].to_numpy()
-        )
-        return np.unique(arr.astype("int64")) if arr.size else None
+        if self._deleted is None:
+            arr = (
+                self.deletes_df().toPandas()["doc_id"].to_numpy()
+            )
+            self._deleted = np.unique(arr.astype("int64")) if arr.size else None
+        return self._deleted
 
     def _list_posting_files(self) -> list[tuple[int, str]]:
+        """(pblock, local file path) of posting shards — feeds the
+        pyarrow fast path, which needs POSIX-readable files. Remote
+        indexes return [] and use the generic DataFrame scan."""
+        base = _join(self.index_dir, "postings")
+        if not is_local(base):
+            return []
         out = []
-        base = os.path.join(self.index_dir, "postings")
-        for root, _dirs, files in os.walk(base):
-            b = os.path.basename(root)
-            if b.startswith("pblock="):
-                pb = int(b.split("=", 1)[1])
-                out.extend(
-                    (pb, os.path.join(root, f))
-                    for f in sorted(files)
-                    if f.endswith(".parquet")
-                )
+        for path, _size in self.fs.list_files(base):
+            if not path.endswith(".parquet"):
+                continue
+            seg = [s for s in path.split("/") if s.startswith("pblock=")]
+            if seg:
+                out.append((int(seg[-1].split("=", 1)[1]), local_path(path)))
         return sorted(out)
 
     def search(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
@@ -140,15 +175,18 @@ class FtsIndex:
         if self.posting_files:
             out = search_index_files(
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
-                top_k, deleted=self.deleted,
+                top_k, deletes_dir=self._local_deletes_dir(),
             )
         else:
             out = search_index(
                 self.postings, query, self.n_docs, self.avgdl, top_k,
-                deleted=self.deleted,
+                deletes=self.deletes_df(),
             )
         self._search_cache[key] = out
         return out
+
+    def _local_deletes_dir(self) -> "str | None":
+        return local_path(self.deletes_dir) if self.has_deletes else None
 
     def search_batch(self, queries: list[str], top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Batched search: one shared posting scan + two Spark jobs for
@@ -159,7 +197,7 @@ class FtsIndex:
 
         return search_index_files_batch(
             self.spark, self.posting_files, queries, self.n_docs, self.avgdl,
-            top_k, deleted=self.deleted,
+            top_k, deletes_dir=self._local_deletes_dir(),
         )
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
@@ -195,7 +233,19 @@ def build_index(
     chunk: bool = False,
     resume: bool = False,
 ) -> FtsIndex:
-    """Build (or resume building) the index from a corpus DataFrame."""
+    """Build (or resume building) the index from a corpus DataFrame.
+
+    On resume, ``num_blocks`` is taken from the doc_stats manifest when
+    one exists: the completed stage fixed the doc-id partitioning, and
+    regenerating later stages with a different block count would write
+    postings inconsistent with the persisted doc_stats (ADVICE.md r01).
+    """
+    fs = IndexFS(spark, index_dir)
+    if resume and _stage_done(fs, index_dir, "doc_stats"):
+        recorded = int(_read_manifest(fs, index_dir, "doc_stats").get(
+            "num_blocks", num_blocks))
+        num_blocks = recorded
+
     docs = None
 
     def get_docs():
@@ -213,25 +263,25 @@ def build_index(
         if block_rows is None:
             block_rows = (
                 get_docs()
-                .groupBy(F.shiftright("doc_id", 40).alias("pblock"))
+                .groupBy(F.shiftright("doc_id", DOC_ID_BLOCK_BITS).alias("pblock"))
                 .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
                 .collect()
             )
         return block_rows
 
-    if not (resume and _stage_done(index_dir, "doc_stats")):
+    if not (resume and _stage_done(fs, index_dir, "doc_stats")):
         d = get_docs()
         d.drop("content").write.mode("overwrite").parquet(
-            os.path.join(index_dir, "doc_stats")
+            _join(index_dir, "doc_stats")
         )
         _write_manifest(
-            index_dir, "doc_stats",
+            fs, index_dir, "doc_stats",
             {"stage": "doc_stats", "version": FORMAT_VERSION,
              "num_blocks": num_blocks,
              "docs_per_block": {str(r["pblock"]): int(r["n"]) for r in get_block_rows()}},
         )
 
-    if not (resume and _stage_done(index_dir, "corpus_stats")):
+    if not (resume and _stage_done(fs, index_dir, "corpus_stats")):
         rows = get_block_rows()
         n = sum(int(r["n"]) for r in rows)
         total_dl = sum(int(r["sdl"]) for r in rows)
@@ -240,23 +290,23 @@ def build_index(
             [(n, avgdl, total_dl, num_blocks, FORMAT_VERSION)],
             "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "corpus_stats")
+            _join(index_dir, "corpus_stats")
         )
         _write_manifest(
-            index_dir, "corpus_stats",
+            fs, index_dir, "corpus_stats",
             {"stage": "corpus_stats", "n_docs": n, "avgdl": avgdl,
              "version": FORMAT_VERSION},
         )
 
-    if not (resume and _stage_done(index_dir, "postings")):
+    if not (resume and _stage_done(fs, index_dir, "postings")):
         d = get_docs()
         build_postings_fused(d).write.mode("overwrite").partitionBy("pblock").parquet(
-            os.path.join(index_dir, "postings")
+            _join(index_dir, "postings")
         )
         _write_manifest(
-            index_dir, "postings",
+            fs, index_dir, "postings",
             {"stage": "postings", "version": FORMAT_VERSION,
-             "per_block": _postings_footer_metrics(os.path.join(index_dir, "postings"))},
+             "per_block": _postings_footer_metrics(fs, _join(index_dir, "postings"))},
         )
 
     if docs is not None:

@@ -29,16 +29,15 @@ analogue of the reference's watchdog debounce loop
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from codebased_spark.operators.build import build_postings_fused
-from codebased_spark.operators.docs import build_docs
+from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS, build_docs
 from codebased_spark.plans.engine import (
     FORMAT_VERSION,
     FtsIndex,
+    _join,
     _postings_footer_metrics,
     _write_manifest,
 )
@@ -56,13 +55,15 @@ def incremental_update(
     index. ``full_snapshot=True`` additionally tombstones every stored
     path that is absent from the batch (delete-not-visited)."""
     idx = FtsIndex(spark, index_dir)
-    old = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
+    all_stored = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
     # the sha gate and the delete sweep must see LIVE docs only: stale
     # doc_stats rows (already tombstoned) would otherwise both mask real
-    # changes (old sha resurfacing) and double-count deletions
-    if idx.deleted is not None and idx.deleted.size:
-        tomb = spark.createDataFrame([(int(x),) for x in idx.deleted], "doc_id long")
-        old = old.join(F.broadcast(tomb), "doc_id", "left_anti")
+    # changes (old sha resurfacing) and double-count deletions. The
+    # tombstone table joins as a DataFrame — never collected.
+    tomb_df = idx.deletes_df()
+    old = all_stored if tomb_df is None else all_stored.join(
+        tomb_df, "doc_id", "left_anti"
+    )
 
     new_files = corpus_batch.select(
         "repo", "path", "commit", "lang", "content",
@@ -101,9 +102,17 @@ def incremental_update(
         ).collect()[0]
         n_dead, dl_dead = int(dead_agg["n"]), int(dead_agg["sdl"])
 
-        # S7/S8: fresh blocks strictly above all existing ones
+        # S7/S8: fresh blocks strictly above all existing ones. The
+        # offset derives from STORED DOC IDS (over ALL doc_stats rows,
+        # tombstoned included, so ids are never reused) — posting FILES
+        # under-count: docs whose columns produced no postings still
+        # occupy their block, and remote stores may list nothing
+        # (ADVICE.md r01: two live docs once collided on doc_id this way).
         n_blocks = num_blocks or idx.num_blocks
-        offset = (max(pb for pb, _ in idx.posting_files) + 1) if idx.posting_files else 0
+        max_pb = idx.doc_stats.agg(
+            F.max(F.shiftright("doc_id", DOC_ID_BLOCK_BITS))
+        ).first()[0]
+        offset = int(max_pb) + 1 if max_pb is not None else 0
         new_docs = build_docs(
             changed, num_blocks=n_blocks, chunk=chunk, block_offset=offset
         ).localCheckpoint(eager=True)
@@ -115,14 +124,19 @@ def incremental_update(
 
         if n_add:
             new_docs.drop("content").write.mode("append").parquet(
-                os.path.join(index_dir, "doc_stats")
+                _join(index_dir, "doc_stats")
             )
             build_postings_fused(new_docs).write.mode("append").partitionBy(
                 "pblock"
-            ).parquet(os.path.join(index_dir, "postings"))
+            ).parquet(_join(index_dir, "postings"))
         if n_dead:
-            dead.select("doc_id").write.mode("append").parquet(
-                os.path.join(index_dir, "deletes")
+            # partitioned by pblock so query tasks read only their own
+            # block's tombstones (no driver materialization anywhere)
+            dead.select(
+                "doc_id",
+                F.shiftright("doc_id", DOC_ID_BLOCK_BITS).cast("int").alias("pblock"),
+            ).write.mode("append").partitionBy("pblock").parquet(
+                _join(index_dir, "deletes")
             )
 
         n_docs = idx.n_docs - n_dead + n_add
@@ -132,18 +146,19 @@ def incremental_update(
             [(n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION)],
             "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "corpus_stats")
+            _join(index_dir, "corpus_stats")
         )
         epoch = len(
-            [f for f in os.listdir(os.path.join(index_dir, "_manifest"))
+            [f for f in idx.fs.list_dir(_join(index_dir, "_manifest"))
              if f.startswith("incr_")]
         )
         _write_manifest(
-            index_dir, f"incr_{epoch}",
+            idx.fs, index_dir, f"incr_{epoch}",
             {"stage": f"incr_{epoch}", "version": FORMAT_VERSION,
              "docs_added": n_add, "docs_tombstoned": n_dead,
              "full_snapshot": full_snapshot,
-             "per_block": _postings_footer_metrics(os.path.join(index_dir, "postings"))},
+             "per_block": _postings_footer_metrics(
+                 idx.fs, _join(index_dir, "postings"))},
         )
     finally:
         new_files.unpersist()
@@ -154,7 +169,8 @@ def tombstone_ratio(index: FtsIndex) -> float:
     """Fraction of stored docs that are tombstoned — the compaction
     trigger (the FTS5 'optimize' analogue is a rebuild of live paths)."""
     stored = index.doc_stats.count()
-    dead = 0 if index.deleted is None else int(index.deleted.size)
+    d = index.deletes_df()
+    dead = 0 if d is None else d.distinct().count()
     return dead / stored if stored else 0.0
 
 
@@ -167,23 +183,40 @@ def compact_index(
 ) -> FtsIndex:
     """The FTS5 'optimize' analogue (codebased/index.py:670): rebuild
     the index from the current corpus into a staging dir, then swap it
-    in atomically (per directory). Drops all tombstones and re-balances
-    blocks; call when tombstone_ratio crosses the operator's threshold."""
-    import shutil
+    in. Drops all tombstones and re-balances blocks; call when
+    tombstone_ratio crosses the operator's threshold.
 
+    Crash-safety: the swap is two renames, NOT atomic. A crash between
+    them leaves ``index_dir`` absent but both ``<dir>.pre-compact`` (the
+    old index) and ``<dir>.compact`` (the new one) intact — recovery is
+    renaming either back into place. The backup is deleted only after
+    the new index has been re-loaded successfully; if that validation
+    fails the old index is restored and the broken result parked at
+    ``<dir>.compact-failed``."""
     from codebased_spark.plans.engine import build_index
 
     idx = FtsIndex(spark, index_dir)
+    fs = idx.fs
     staging = index_dir.rstrip("/") + ".compact"
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.delete(staging)
     build_index(spark, corpus, staging, num_blocks=num_blocks or idx.num_blocks,
                 chunk=chunk)
     backup = index_dir.rstrip("/") + ".pre-compact"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(index_dir, backup)
-    os.rename(staging, index_dir)
-    shutil.rmtree(backup)
-    return FtsIndex(spark, index_dir)
+    fs.delete(backup)
+    fs.rename(index_dir, backup)
+    try:
+        fs.rename(staging, index_dir)
+    except BaseException:
+        fs.rename(backup, index_dir)  # restore the old index
+        raise
+    try:
+        out = FtsIndex(spark, index_dir)  # prove the new index loads
+    except BaseException:
+        fs.rename(index_dir, index_dir.rstrip("/") + ".compact-failed")
+        fs.rename(backup, index_dir)
+        raise
+    fs.delete(backup)
+    return out
 
 
 def stream_corpus_updates(

@@ -161,3 +161,56 @@ def test_streaming_foreachbatch_updates_index(spark, tmp_path):
     assert index.n_docs == n0 + 1
     hits = index.search_with_metadata("STREAMEDTOKEN", 5).collect()
     assert len(hits) == 1 and hits[0]["path"] == "x.py"
+
+
+def test_fresh_block_offset_survives_postingless_blocks(spark, tmp_path):
+    """ADVICE.md r01 (medium): the fresh-block offset must come from
+    stored doc ids, not posting files. A doc whose every column is
+    shorter than 3 chars produces ZERO postings; if it occupies the
+    highest block alone, an offset derived from posting files collides
+    new doc_ids with its block — silent index corruption."""
+    from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS, build_docs
+
+    # find a tiny path that hash-partitions into the TOP block (1 of 2)
+    probes = [(f"r1", f"{c}", "c" * 40, "text", "x") for c in "abcdefghij"]
+    placed = build_docs(
+        spark.createDataFrame(probes, CORPUS_SCHEMA), num_blocks=2
+    ).select("path", F.shiftright("doc_id", DOC_ID_BLOCK_BITS).alias("pb")).collect()
+    tiny_path = next(r["path"] for r in placed if r["pb"] == 1)
+    normal_path = "normal.py"
+    # ... and confirm the normal doc lands in block 0 (else pick another)
+    for cand in ("normal.py", "other.py", "third.py", "fourth.py"):
+        pb = build_docs(
+            spark.createDataFrame(
+                [("r1", cand, "c" * 40, "python", "def hello(): pass")],
+                CORPUS_SCHEMA),
+            num_blocks=2,
+        ).select(F.shiftright("doc_id", DOC_ID_BLOCK_BITS).alias("pb")).first()["pb"]
+        if pb == 0:
+            normal_path = cand
+            break
+    else:
+        pytest.skip("no probe path hashed to block 0")
+
+    idx_dir = str(tmp_path / "offset")
+    v1 = [
+        ("r1", normal_path, "c" * 40, "python", "def hello(): pass"),
+        ("r1", tiny_path, "c" * 40, "text", "x"),  # zero postings, block 1
+    ]
+    index = build_index(
+        spark, spark.createDataFrame(v1, CORPUS_SCHEMA), idx_dir, num_blocks=2
+    )
+    assert max(pb for pb, _ in index.posting_files) == 0  # block 1 is posting-less
+
+    v2 = v1 + [("r1", "added.go", "d" * 40, "go", 'println("added token")')]
+    index = incremental_update(spark, idx_dir, spark.createDataFrame(v2, CORPUS_SCHEMA))
+
+    ids = [int(r["doc_id"]) for r in index.doc_stats.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)), "doc_id collision after incremental update"
+    new_block = next(
+        int(r["doc_id"]) >> DOC_ID_BLOCK_BITS
+        for r in index.doc_stats.filter(F.col("path") == "added.go").collect()
+    )
+    assert new_block >= 2  # strictly above every STORED block, not file-derived
+    hits = index.search_with_metadata("added token", 5).collect()
+    assert len(hits) == 1 and hits[0]["path"] == "added.go"

@@ -234,3 +234,34 @@ def test_manifest_lineage(spark, tmp_path):
     with open(os.path.join(idx_dir, "_manifest", "doc_stats.json")) as f:
         d = json.load(f)
     assert sum(d["docs_per_block"].values()) == len(ALL_FIXTURES)
+
+
+def test_cogrouped_deletes_match_fast_path(spark, tmp_path):
+    """The generic DataFrame scan applies tombstones via a per-pblock
+    cogroup (distributed — nothing on the driver); results must equal
+    the pyarrow fast path, which reads deletes/pblock=N task-side."""
+    from codebased_spark.operators.query import search_index
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+    from codebased_spark.streaming.incremental import incremental_update
+
+    v1 = [
+        ("r1", "a.py", "c" * 40, "python", 'print("hello world")'),
+        ("r1", "b.py", "c" * 40, "python", 'print("hello again world")'),
+        ("r1", "c.md", "c" * 40, "text", "hello hello hello world"),
+    ]
+    v2 = [v1[0], v1[2]]  # b.py deleted
+    idx_dir = str(tmp_path / "cg")
+    build_index(spark, spark.createDataFrame(v1, CORPUS_SCHEMA), idx_dir, num_blocks=2)
+    index = incremental_update(
+        spark, idx_dir, spark.createDataFrame(v2, CORPUS_SCHEMA), full_snapshot=True
+    )
+    assert index.has_deletes
+
+    fast = spark_hits(index.search("hello world", 32))
+    generic = spark_hits(
+        search_index(index.postings, "hello world", index.n_docs, index.avgdl, 32,
+                     deletes=index.deletes_df())
+    )
+    assert fast == generic
+    live_paths = {r["path"] for r in index.search_with_metadata("hello world", 32).collect()}
+    assert "b.py" not in live_paths and live_paths == {"a.py", "c.md"}

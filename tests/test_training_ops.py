@@ -208,3 +208,102 @@ def test_bm25_scoring_is_codegen(spark):
     assert "* Project" in plan  # '*' marks WholeStageCodegen in formatted mode
     assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_lsh_recall_and_pair_budget(spark):
+    """VERDICT r01: 8x2 banding produced 62% of all-pairs (all-pairs in
+    disguise). 16x4 must (a) find every planted near-dup with trigram
+    Jaccard >= 0.8, (b) emit a candidate set that is a small fraction of
+    all-pairs on a noise-dominated corpus, (c) honor the bucket cap."""
+    import itertools
+    import random
+
+    from codebased_spark.operators.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+    )
+
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = ["".join(rng.choice(letters) for _ in range(rng.randint(8, 12)))
+             for _ in range(2000)]
+    rows = []
+    for i in range(120):  # noise docs: 40 distinct random words each
+        rows.append((i, " ".join(rng.sample(words, 40))))
+    planted = []
+    for j in range(5):  # near-dup pairs: one word substituted
+        base = rng.sample(words, 40)
+        rows.append((200 + 2 * j, " ".join(base)))
+        mod = list(base)
+        mod[-1] = "swapped"
+        rows.append((201 + 2 * j, " ".join(mod)))
+        planted.append((200 + 2 * j, 201 + 2 * j))
+
+    def trigrams(s):
+        s = s.lower()
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    by_id = dict(rows)
+    for a, b in planted:  # planted pairs really are >= 0.8 Jaccard
+        ta, tb = trigrams(by_id[a]), trigrams(by_id[b])
+        assert len(ta & tb) / len(ta | tb) >= 0.8
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    for p in planted:
+        assert p in pairs, f"planted near-dup {p} missed"
+    n_docs = len(rows)
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert len(pairs) <= 0.05 * all_pairs, (len(pairs), all_pairs)
+
+    # ground-truth check the other way: no high-jaccard pair exists
+    # outside the candidate set (recall = 1.0 on this corpus)
+    ids = sorted(by_id)
+    tri = {i: trigrams(by_id[i]) for i in ids}
+    for a, b in itertools.combinations(ids, 2):
+        j = len(tri[a] & tri[b]) / max(len(tri[a] | tri[b]), 1)
+        if j >= 0.8:
+            assert (a, b) in pairs, (a, b, j)
+
+    # bucket cap: a degenerate corpus (every doc identical) collapses
+    # into single buckets above the cap -> dropped, reported, no blowup
+    degen = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(100)], "doc_id long, text string"
+    )
+    stats = lsh_bucket_stats(degen, max_bucket=64).collect()
+    assert any(r["dropped"] and r["size"] == 100 for r in stats)
+    assert lsh_candidate_pairs(degen, max_bucket=64).count() == 0
+    # ... while a cap above the corpus keeps them
+    assert lsh_candidate_pairs(degen, max_bucket=128).count() == 100 * 99 // 2
+
+
+def test_decode_pixels_uses_real_codec_when_available(monkeypatch):
+    """VERDICT r01 'what's wrong #5': the PIL branch must DECODE, not
+    raise. Injects a fake PIL via sys.modules (driver-side unit test —
+    the lazy import inside _decode_pixels resolves it)."""
+    import sys
+    import types
+
+    from codebased_spark.operators.multimodal import _decode_pixels, _fake_pixels
+
+    pixels = np.full((4, 5, 3), 7, dtype=np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fp: pixels)
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    out = _decode_pixels(b"\x00\x01", 9, 9, 3)
+    assert out.shape == (4, 5, 3) and (out == 7).all()  # decoded, not faked
+
+    # grayscale arrays gain a channel axis
+    fake_image_mod.open = lambda fp: np.zeros((4, 5), dtype=np.uint8)
+    assert _decode_pixels(b"\x00", 9, 9, 3).shape == (4, 5, 1)
+
+    # an unopenable payload falls back to the deterministic fake
+    def boom(fp):
+        raise OSError("cannot identify image file")
+    fake_image_mod.open = boom
+    fb = _decode_pixels(b"\x00\x01", 4, 4, 3)
+    assert (fb == _fake_pixels(b"\x00\x01", 4, 4, 3)).all()
