@@ -78,9 +78,12 @@ def main() -> None:
     build_sec = time.time() - t0
     n_files = index.n_docs  # file-level docs: 1 doc == 1 file
 
-    # warm the posting scan once so query timings measure the engine,
-    # not first-touch parquet footer reads
-    index.search("warmup query", 10).collect()
+    # warm the posting scan + executor python workers once so query
+    # timings measure the engine, not first-touch costs. (Each phrase
+    # must be >= 3 chars per trigram semantics or no job runs at all;
+    # both the single- and multi-phrase shapes get a first touch.)
+    index.search("warmup", 10).collect()
+    index.search("warm once more", 10).collect()
 
     q_times: dict[str, float] = {}
     for name, q in QUERIES.items():

@@ -213,16 +213,71 @@ def _scan_python(L: _Lines):
 _JS_DECL = re.compile(
     r"^(\s*)(?:export\s+)?(let|const|var)\s+([A-Za-z_$][\w$]*)\s*(?::[^=]+)?=\s*(.*)$"
 )
-_JS_FUNC = re.compile(r"^(\s*)(?:export\s+)?(?:async\s+)?function\s*\*?\s*([A-Za-z_$][\w$]*)")
-_JS_CLASS = re.compile(r"^(\s*)(?:export\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][\w$]*)")
-_TS_IFACE = re.compile(r"^(\s*)(?:export\s+)?interface\s+([A-Za-z_$][\w$]*)")
+_JS_FUNC = re.compile(r"^(\s*)(?:export\s+)?(?:declare\s+)?(?:async\s+)?function\s*\*?\s*([A-Za-z_$][\w$]*)")
+_JS_CLASS = re.compile(r"^(\s*)(?:export\s+)?(?:declare\s+)?(?:abstract\s+)?class\s+([A-Za-z_$][\w$]*)")
+_TS_IFACE = re.compile(r"^(\s*)(?:export\s+)?(?:declare\s+)?interface\s+([A-Za-z_$][\w$]*)")
+_TS_MODULE = re.compile(
+    r"^(\s*)(?:export\s+)?(?:declare\s+)?(?:namespace|module)\s+([A-Za-z_$][\w$.]*)"
+)
 _ARROWISH = re.compile(r"^(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*(?::[^=>]+)?=>")
+_JS_METHOD = re.compile(
+    r"^(\s*)((?:(?:static|async|get|set|public|private|protected|readonly|"
+    r"override|abstract)\s+)*)\*?\s*([A-Za-z_$][\w$]*)\s*(?:<[^>]*>)?\("
+)
+_JS_ASSIGN = re.compile(
+    r"^(\s*)([A-Za-z_$][\w$]*(?:\.[A-Za-z_$][\w$]*)*)\s*=\s*([^=].*)$"
+)
+_JS_PAIR = re.compile(r"^(\s*)([A-Za-z_$][\w$]*)\s*:\s*(.*)$")
+_JS_STMT_KEYWORDS = {
+    "if", "for", "while", "switch", "catch", "return", "else", "do", "new",
+    "typeof", "await", "yield", "function", "class", "interface", "super",
+    "throw", "delete", "void", "in", "of", "case", "break", "continue",
+}
+
+
+def _is_fn_value(value: str) -> bool:
+    """tree-sitter's [(arrow_function) (function_expression)] test for a
+    declarator/assignment/pair initializer (parser.py:343-355)."""
+    return bool(_ARROWISH.match(value)) or value.startswith(("function", "async function"))
+
+
+def _value_end(L: _Lines, row: int) -> tuple[int, int]:
+    """(end_row, end_col_chars) of an initializer value, excluding any
+    trailing ';' — tree-sitter's declarator/assignment nodes stop at the
+    value (the reference byte ranges have no semicolon)."""
+    end = _brace_block_end(L, row) if "{" in L.lines[row] else _stmt_end(L, row)
+    tail = L.lines[end].rstrip()
+    if tail.endswith(";"):
+        tail = tail[:-1].rstrip()
+    return end, len(tail)
 
 
 def _scan_javascript(L: _Lines):
+    """JS/TS scanner — coverage mirrors the reference's tag queries
+    (codebased/parser.py:267-359): program-level constants, function/
+    generator declarations, classes (incl. abstract) and interfaces,
+    TS namespaces/modules, method definitions and TS method signatures,
+    and arrow/function values bound via declarators, assignments, or
+    object-literal pairs at any nesting depth."""
     out = []
+    # (indent, kind, scope): kind in {class, iface, module, fn}
+    stack: list[tuple[int, str, _Scope]] = []
+
+    def scopes_for(r):
+        return [s for _, _, s in stack if s.start_row < r]
+
+    def push(ind, kind, r, end):
+        stack.append((ind, kind, _Scope(r, end)))
+
     for r, line in enumerate(L.lines):
+        while stack and stack[-1][2].end_row < r:
+            stack.pop()
+        if not line.strip():
+            continue
         ind = _indent_of(line)
+        top_kind = stack[-1][1] if stack else None
+        scopes = scopes_for(r)
+
         m = _JS_CLASS.match(line) or _TS_IFACE.match(line)
         if m:
             kind = (
@@ -230,34 +285,111 @@ def _scan_javascript(L: _Lines):
                 else "definition.class"
             )
             end = _brace_block_end(L, r)
-            kw = line.index(line.lstrip()[0]) if line.strip() else ind
             start_col = line.find("class" if kind == "definition.class" else "interface")
+            before, after = _context(scopes, r, end)
             out.append(Obj(m.group(2), kind, r, start_col, end,
                            len(L.lines[end]), L.byte_at(r, start_col),
-                           L.line_end_byte(end), [], []))
+                           L.line_end_byte(end), before, after))
+            push(ind, "iface" if kind == "definition.interface" else "class", r, end)
+            continue
+        m = _TS_MODULE.match(line)
+        if m and "{" in line:
+            end = _brace_block_end(L, r)
+            kw = "namespace" if "namespace" in line else "module"
+            start_col = line.find(kw)
+            before, after = _context(scopes, r, end)
+            out.append(Obj(m.group(2), "definition.module", r, start_col, end,
+                           len(L.lines[end]), L.byte_at(r, start_col),
+                           L.line_end_byte(end), before, after))
+            push(ind, "module", r, end)
             continue
         m = _JS_FUNC.match(line)
-        if m and ind == 0:
-            end = _brace_block_end(L, r)
+        if m:
+            # function_declaration / generator_function_declaration at
+            # any depth; a body-less TS function_signature ends at ';'
+            has_body = "{" in line
+            end = _brace_block_end(L, r) if has_body else _stmt_end(L, r)
             start_col = line.find("function")
-            if line.lstrip().startswith("async"):
-                start_col = line.find("async")
+            head = line[:start_col]
+            for kw in ("async", "declare"):
+                if re.search(rf"\b{kw}\s*$", head):
+                    start_col = line.find(kw)
+                    head = line[:start_col]
+            before, after = _context(scopes, r, end)
             out.append(Obj(m.group(2), "definition.function", r, start_col, end,
                            len(L.lines[end]), L.byte_at(r, start_col),
-                           L.line_end_byte(end), [], []))
+                           L.line_end_byte(end), before, after))
+            if has_body:
+                push(ind, "fn", r, end)
             continue
         m = _JS_DECL.match(line)
-        if m and ind == 0:
+        if m:
             name, value = m.group(3), m.group(4)
-            is_fn = bool(_ARROWISH.match(value)) or value.startswith("function")
-            end = _stmt_end(L, r)
-            start_col = line.find(m.group(2))  # let/const/var (export excluded)
-            out.append(
-                Obj(name,
-                    "definition.function" if is_fn else "definition.constant",
-                    r, start_col, end, len(L.lines[end]),
-                    L.byte_at(r, start_col), L.line_end_byte(end), [], [])
-            )
+            is_fn = _is_fn_value(value)
+            if is_fn:
+                # variable_declarator node: name .. end of value, no ';'
+                end, end_col = _value_end(L, r)
+                start_col = line.find(name, line.find(m.group(2)))
+                before, after = _context(scopes, r, end)
+                out.append(Obj(name, "definition.function", r, start_col, end,
+                               end_col, L.byte_at(r, start_col),
+                               L.byte_at(end, end_col), before, after))
+                if "{" in value:
+                    push(ind, "fn", r, end)
+            elif ind == 0:
+                # program-level (lexical|variable)_declaration: constant
+                end = _stmt_end(L, r)
+                start_col = line.find(m.group(2))
+                out.append(Obj(name, "definition.constant", r, start_col, end,
+                               len(L.lines[end]), L.byte_at(r, start_col),
+                               L.line_end_byte(end), [], []))
+            continue
+        if top_kind in ("class", "iface") and stack[-1][0] < ind:
+            m = _JS_METHOD.match(line)
+            if m and m.group(3) not in _JS_STMT_KEYWORDS:
+                has_body = "{" in line
+                if top_kind == "class" and not has_body and not m.group(2).strip():
+                    pass  # field/call-looking line, not a concrete method
+                else:
+                    end = _brace_block_end(L, r) if has_body else _stmt_end(L, r)
+                    start_col = ind
+                    before, after = _context(scopes, r, end)
+                    out.append(Obj(m.group(3), "definition.method", r, start_col,
+                                   end, len(L.lines[end]), L.byte_at(r, start_col),
+                                   L.line_end_byte(end), before, after))
+                    if has_body:
+                        push(ind, "fn", r, end)
+                    continue
+        if top_kind not in ("class", "iface"):
+            m = _JS_ASSIGN.match(line)
+            if (m and _is_fn_value(m.group(3))
+                    and m.group(2).split(".")[0] not in _JS_STMT_KEYWORDS):
+                # assignment_expression with arrow/function RHS
+                name = m.group(2).split(".")[-1]
+                end, end_col = _value_end(L, r)
+                start_col = line.find(m.group(2))
+                before, after = _context(scopes, r, end)
+                out.append(Obj(name, "definition.function", r, start_col, end,
+                               end_col, L.byte_at(r, start_col),
+                               L.byte_at(end, end_col), before, after))
+                if "{" in m.group(3):
+                    push(ind, "fn", r, end)
+                continue
+            m = _JS_PAIR.match(line)
+            if (m and _is_fn_value(m.group(3))
+                    and m.group(2) not in _JS_STMT_KEYWORDS):
+                # (pair key: value: arrow/function) in an object literal
+                end, end_col = _value_end(L, r)
+                tail = L.lines[end].rstrip()
+                if tail.endswith(","):
+                    end_col = len(tail) - 1
+                start_col = line.find(m.group(2))
+                before, after = _context(scopes, r, end)
+                out.append(Obj(m.group(2), "definition.function", r, start_col,
+                               end, end_col, L.byte_at(r, start_col),
+                               L.byte_at(end, end_col), before, after))
+                if "{" in m.group(3):
+                    push(ind, "fn", r, end)
     return out
 
 

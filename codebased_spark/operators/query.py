@@ -29,6 +29,33 @@ Exactness: identical scores to operators/score.py (brute force) and to
 SQLite FTS5 — phrase tf via consecutive-position intersection equals
 overlapping substring count; df/idf semantics per branch as probed in
 tests/test_fts5_semantics.py.
+
+Top-k pruning (all layers EXACT — parity tests stay bit-identical):
+
+Classical Block-Max WAND skips posting blocks whose score upper bound
+cannot beat the running k-th score. Under FTS5 semantics that bound is
+only usable in a narrow case, because idf comes from the EXACT phrase
+document frequency: every doc where the phrase might match must be
+position-verified just to count df, before any score exists. Skipping a
+block would change idf and therefore every score — so the decode work
+for multi-trigram phrases is irreducible, and what CAN be pruned is:
+
+1. Row groups: shards store term-sorted rows in small parquet row
+   groups; the pyarrow scan's term filter reads only groups whose
+   [min,max] covers a query trigram (~10x less read per query).
+2. Emission: for single-phrase queries both final branches order by
+   (positive global idf) x norm(tf, dl), so each block emits only its
+   local branch top-k by norm — any doc it drops is beaten by >= k docs
+   from its own block under every possible idf. df stats are taken
+   before pruning. (Multi-phrase scores mix per-phrase idfs unknown at
+   task time; their conjunction already bounds emission.)
+3. Block-Max WAND proper: a single-trigram phrase occurring only in the
+   content column needs no position verification (tf = trigram tf, df =
+   stored row df), so the per-chunk (skip_max_tf, skip_min_dl) bound is
+   sound: chunks are visited bound-descending and decoding stops at the
+   running k-th norm — cold chunks are never decoded at all
+   (_single_trigram_wand; bounds share _norm_np's float pipeline with
+   the JVM expression, so ordering decisions are bit-consistent).
 """
 
 from __future__ import annotations
@@ -50,6 +77,14 @@ from codebased_spark.functions.fts5 import idf as idf_fn
 from codebased_spark.functions.fts5 import phrase_terms, query_phrases
 
 _POS_BITS = 32  # (local doc index << 32) | shifted position
+
+
+def _norm_np(tf, dl, avgdl: float):
+    """BM25 tf-normalization, numpy mirror of :func:`_norm` — SAME
+    operation order as the Catalyst expression so task-side ranking
+    decisions agree with the JVM scores bit-for-bit."""
+    tf = tf.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl))
 
 
 def _multi_slice(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -87,6 +122,32 @@ class _Row:
         if self._skip_last is None:
             self._skip_last = np.asarray(self._raw["skip_last"], dtype=np.int64)
         return self._skip_last
+
+    @property
+    def skip_max_tf(self):
+        return np.asarray(self._raw["skip_max_tf"], dtype=np.int64)
+
+    @property
+    def skip_min_dl(self):
+        return np.asarray(self._raw["skip_min_dl"], dtype=np.int64)
+
+    def chunk_scalars(self, cid: int):
+        """(docs, tfs, dls) of one chunk WITHOUT touching the position
+        stream — the decode the block-max path uses (positions are the
+        bulk of a posting row and single-trigram scoring never needs
+        them)."""
+        got = self._chunks.get(cid)
+        if got is not None:
+            return got[0], got[1], got[4]
+        r = self._raw
+        docs_b = slice_chunks(r["doc_bytes"], np.asarray(r["skip_doc_off"]),
+                              np.array([cid]), len(r["doc_bytes"]))[0]
+        tf_b = slice_chunks(r["tf_bytes"], np.asarray(r["skip_tf_off"]),
+                            np.array([cid]), len(r["tf_bytes"]))[0]
+        dl_b = slice_chunks(r["dl_bytes"], np.asarray(r["skip_dl_off"]),
+                            np.array([cid]), len(r["dl_bytes"]))[0]
+        docs = np.cumsum(decode_varint(docs_b), dtype=np.int64)
+        return docs, decode_varint(tf_b), decode_varint(dl_b)
 
     @property
     def docs(self):
@@ -228,12 +289,74 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
     return common[hit], tf[hit], dls[hit]
 
 
-def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None):
+def _single_trigram_wand(r: _Row, top_k: int, avgdl: float):
+    """Block-Max WAND over ONE posting row: exact top-k docs by
+    norm(tf, dl) using the stored per-chunk (skip_max_tf, skip_min_dl)
+    bounds. Chunks are visited in bound-descending order and decoding
+    stops once the next bound is strictly below the running k-th norm —
+    the position stream is never touched, and cold chunks are never
+    decoded. Returns (doc_ids, tfs, dls) sorted by doc_id.
+
+    Exactness: norm is monotone in tf (+) and dl (-), so
+    norm(chunk_max_tf, chunk_min_dl) >= norm(tf_d, dl_d) for every doc d
+    in the chunk; bounds and norms share one float pipeline (_norm_np ==
+    JVM _norm bit-for-bit), and chunks at bound == threshold are still
+    decoded so doc_id tie-breaks stay exact."""
+    bounds = _norm_np(r.skip_max_tf, r.skip_min_dl, avgdl)
+    order = np.argsort(-bounds, kind="stable")
+    kd = kt = kl = kn = None
+    for c in order:
+        if kn is not None and kn.size >= top_k and bounds[c] < kn[-1]:
+            break
+        docs, tfs, dls = r.chunk_scalars(int(c))
+        norms = _norm_np(tfs, dls, avgdl)
+        if kd is None:
+            kd, kt, kl, kn = docs, tfs, dls, norms
+        else:
+            kd = np.concatenate([kd, docs])
+            kt = np.concatenate([kt, tfs])
+            kl = np.concatenate([kl, dls])
+            kn = np.concatenate([kn, norms])
+        sel = np.lexsort((kd, -kn))[:top_k]
+        kd, kt, kl, kn = kd[sel], kt[sel], kl[sel], kn[sel]
+    o = np.argsort(kd)
+    return kd[o], kt[o], kl[o]
+
+
+def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
+                        top_k=None, avgdl=None):
     """One query's per-block computation over pre-built _Row handles:
     returns (stats_tuples, doc_frame_or_None). Shared by the single-query
     and batched UDFs; ``cache`` memoizes per-(phrase, col) results so
-    batched queries sharing phrases decode once."""
+    batched queries sharing phrases decode once.
+
+    ``top_k``/``avgdl`` enable two EXACT pruning layers (see module
+    docstring "Top-k pruning"):
+    - single-trigram content-only queries take the Block-Max WAND path
+      (skip-metadata chunk skipping; only when ``cache`` is None — the
+      batch memo must stay unpruned because a multi-phrase query may
+      share the phrase);
+    - every single-phrase query emits only its block-local branch top-k
+      instead of all matching docs (df stats stay full).
+    """
     n_ph = len(phrase_term_ids)
+    if (
+        n_ph == 1 and len(phrase_term_ids[0]) == 1
+        and cache is None and deleted is None
+        and top_k and avgdl is not None
+    ):
+        t = phrase_term_ids[0][0]
+        if rows.get((t, 0)) is None and rows.get((t, 1)) is None:
+            r = rows.get((t, 2))
+            if r is None:
+                return [], None
+            docs, tfs, dls = _single_trigram_wand(r, top_k, avgdl)
+            tfs_name = np.zeros(docs.size, dtype=np.int64)
+            return (
+                [(0, int(r.df), 0)],
+                (docs, dls, list(tfs.reshape(-1, 1)),
+                 list(tfs_name.reshape(-1, 1))),
+            )
     stats = []
     per_phrase = []
     for pi, terms in enumerate(phrase_term_ids):
@@ -292,6 +415,24 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None):
                 tfs_name[:, i] = tn[ix]
                 if dl is None:
                     dl = dlv[ix]
+            if (
+                n_ph == 1 and top_k and avgdl is not None
+                and common.size > 2 * top_k
+            ):
+                # EXACT emission pruning: both final branches rank by a
+                # positive constant (the global idf) times norm(tf, dl),
+                # so any doc outside its block's branch top-k by norm is
+                # beaten by >= top_k docs globally too. df stats (kind=0
+                # rows) were taken above, BEFORE pruning — idf is exact.
+                keep = np.zeros(common.size, dtype=bool)
+                na = _norm_np(tfs_all[:, 0], dl, avgdl)
+                keep[np.lexsort((common, -na))[:top_k]] = True
+                named = np.flatnonzero(tfs_name[:, 0] > 0)
+                if named.size:
+                    nn = _norm_np(tfs_name[named, 0], dl[named], avgdl)
+                    keep[named[np.lexsort((common[named], -nn))[:top_k]]] = True
+                common, dl = common[keep], dl[keep]
+                tfs_all, tfs_name = tfs_all[keep], tfs_name[keep]
             doc_frame = (common, dl, list(tfs_all), list(tfs_name))
     return stats, doc_frame
 
@@ -313,7 +454,8 @@ def _empty_cand_pdf() -> pd.DataFrame:
     )
 
 
-def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted) -> pd.DataFrame:
+def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted,
+                          top_k=None, avgdl=None) -> pd.DataFrame:
     """One block's posting rows -> candidate rows.
 
     Emits TWO row kinds (the conjunction and the per-doc aggregation are
@@ -331,7 +473,9 @@ def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted) -> pd.Dat
         (int(r["term"]), int(r["col"])): _Row(r)
         for _, r in pdf.iterrows()
     }
-    stats, doc_frame = _query_block_frames(rows, phrase_term_ids, deleted)
+    stats, doc_frame = _query_block_frames(
+        rows, phrase_term_ids, deleted, top_k=top_k, avgdl=avgdl
+    )
     frames = []
     if stats:
         frames.append(pd.DataFrame(
@@ -347,17 +491,18 @@ def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted) -> pd.Dat
     return pd.concat(frames, ignore_index=True)
 
 
-def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None):
+def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None,
+                   top_k=None, avgdl=None):
     """applyInPandas wrapper over :func:`_block_candidates_pdf` with a
     fixed (driver-provided) tombstone array — the no-deletes path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _block_candidates_pdf(pdf, phrase_term_ids, deleted)
+        return _block_candidates_pdf(pdf, phrase_term_ids, deleted, top_k, avgdl)
 
     return fn
 
 
-def _cogroup_candidates_fn(phrase_term_ids: list[list[int]]):
+def _cogroup_candidates_fn(phrase_term_ids: list[list[int]], top_k=None, avgdl=None):
     """Cogrouped applyInPandas: (posting rows, tombstone rows) per
     pblock. Tombstones arrive as ordinary shuffled rows — never through
     the driver or a UDF closure — so the deleted set scales with the
@@ -369,7 +514,7 @@ def _cogroup_candidates_fn(phrase_term_ids: list[list[int]]):
         deleted = None
         if len(right):
             deleted = np.unique(right["doc_id"].to_numpy().astype("int64"))
-        return _block_candidates_pdf(left, phrase_term_ids, deleted)
+        return _block_candidates_pdf(left, phrase_term_ids, deleted, top_k, avgdl)
 
     return fn
 
@@ -404,7 +549,8 @@ CAND2_SCHEMA = (
 BATCH_SCHEMA = "qid int, " + CAND2_SCHEMA
 
 
-def _batch_candidates_fn(queries_terms, needed, deletes_dir=None):
+def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
+                         top_k=None, avgdl=None):
     """mapInPandas over (pblock, path) rows for MANY queries at once:
     one pyarrow scan + one set of _Row handles per block serves every
     query; a per-(phrase) memo means queries sharing phrases decode and
@@ -434,7 +580,8 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None):
                 frames = []
                 for qid, term_ids in queries_terms:
                     stats, doc_frame = _query_block_frames(
-                        rows, term_ids, deleted, cache=cache
+                        rows, term_ids, deleted, cache=cache,
+                        top_k=top_k, avgdl=avgdl,
                     )
                     if stats:
                         frames.append(pd.DataFrame(
@@ -486,7 +633,7 @@ def search_index_files_batch(
     n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
     cand = files_df.repartition(n_part).mapInPandas(
         _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed,
-                             deletes_dir),
+                             deletes_dir, top_k, avgdl),
         BATCH_SCHEMA,
     ).persist()
     try:
@@ -550,12 +697,13 @@ def search_index_files_batch(
 
 _POSTING_READ_COLUMNS = [
     "term", "col", "df", "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
-    "skip_last", "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off",
+    "skip_last", "skip_max_tf", "skip_min_dl",
+    "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off",
 ]
 
 
 def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
-                        deletes_dir=None):
+                        deletes_dir=None, top_k=None, avgdl=None):
     """mapInPandas over rows of (pblock, path): a pyarrow-native posting
     scan. Spark's vectorized parquet reader must decode a whole row
     group of the (large) blob columns before filtering; pyarrow's C++
@@ -577,7 +725,8 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
                 if tbl.num_rows == 0:
                     continue
                 deleted = _load_block_tombstones(deletes_dir, pblock, tomb_cache)
-                out = _block_candidates_pdf(tbl.to_pandas(), phrase_term_ids, deleted)
+                out = _block_candidates_pdf(tbl.to_pandas(), phrase_term_ids,
+                                            deleted, top_k, avgdl)
                 if len(out):
                     yield out
 
@@ -629,11 +778,11 @@ def search_index(
             "doc_id",
         )
         cand = pruned.groupBy("pblock").cogroup(dd.groupBy("pblock")).applyInPandas(
-            _cogroup_candidates_fn(term_ids), CAND2_SCHEMA
+            _cogroup_candidates_fn(term_ids, top_k, avgdl), CAND2_SCHEMA
         )
     else:
         cand = pruned.groupBy("pblock").applyInPandas(
-            _candidates_fn(term_ids, deleted), CAND2_SCHEMA
+            _candidates_fn(term_ids, deleted, top_k, avgdl), CAND2_SCHEMA
         )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 
@@ -662,7 +811,8 @@ def search_index_files(
     files_df = spark.createDataFrame(posting_files, "pblock int, path string")
     n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
     cand = files_df.repartition(n_part).mapInPandas(
-        _file_candidates_fn(term_ids, needed, deletes_dir), CAND2_SCHEMA
+        _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl),
+        CAND2_SCHEMA,
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 

@@ -38,6 +38,11 @@ from codebased_spark.plans.fsio import IndexFS, is_local, local_path
 # round-1 driver-materialized numpy array is gone from the query path).
 FORMAT_VERSION = 2
 
+# Posting-shard parquet row-group size. Rows are term-sorted within a
+# shard, so the per-query term filter prunes to O(1) row groups; small
+# groups make that pruning fine-grained while keeping footers tiny.
+POSTING_ROW_GROUP_BYTES = 512 * 1024
+
 
 def _join(base: str, *parts: str) -> str:
     return "/".join([base.rstrip("/"), *parts])
@@ -300,7 +305,13 @@ def build_index(
 
     if not (resume and _stage_done(fs, index_dir, "postings")):
         d = get_docs()
-        build_postings_fused(d).write.mode("overwrite").partitionBy("pblock").parquet(
+        # small row groups + rows sorted by term => a query's pyarrow
+        # term-filter scan prunes to the few row groups whose [min,max]
+        # term range overlaps, instead of decoding every blob column in
+        # the shard (measured ~10x less read work per query)
+        build_postings_fused(d).write.mode("overwrite").option(
+            "parquet.block.size", str(POSTING_ROW_GROUP_BYTES)
+        ).partitionBy("pblock").parquet(
             _join(index_dir, "postings")
         )
         _write_manifest(

@@ -36,6 +36,7 @@ from codebased_spark.operators.build import build_postings_fused
 from codebased_spark.operators.docs import DOC_ID_BLOCK_BITS, build_docs
 from codebased_spark.plans.engine import (
     FORMAT_VERSION,
+    POSTING_ROW_GROUP_BYTES,
     FtsIndex,
     _join,
     _postings_footer_metrics,
@@ -126,9 +127,9 @@ def incremental_update(
             new_docs.drop("content").write.mode("append").parquet(
                 _join(index_dir, "doc_stats")
             )
-            build_postings_fused(new_docs).write.mode("append").partitionBy(
-                "pblock"
-            ).parquet(_join(index_dir, "postings"))
+            build_postings_fused(new_docs).write.mode("append").option(
+                "parquet.block.size", str(POSTING_ROW_GROUP_BYTES)
+            ).partitionBy("pblock").parquet(_join(index_dir, "postings"))
         if n_dead:
             # partitioned by pblock so query tasks read only their own
             # block's tombstones (no driver materialization anywhere)

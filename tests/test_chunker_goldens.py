@@ -322,3 +322,140 @@ def test_php_golden():
         assert o.context_before == [point.start_row], o.name
         assert o.context_after == [point.end_row], o.name
     assert main_o.context_before == [] and main_o.context_after == []
+
+
+def test_python_decorated_and_nested_defs():
+    """Constructs absent from the reference fixtures: tree-sitter's
+    python query captures (function_definition), so a decorated def's
+    object starts at the `def` line (decorators excluded) and nested
+    defs are captured with enclosing context."""
+    src = textwrap.dedent(
+        """
+        import functools
+
+        @functools.cache
+        def cached(n):
+            return n * 2
+
+        class Svc:
+            @property
+            def value(self):
+                return self._v
+
+        def outer():
+            x = 1
+            def inner():
+                return x
+            return inner
+        """
+    )
+    objs = chunk_text("src/deco.py", "python", src)
+    assert _nk(objs) == [
+        ("src/deco.py", "file"),
+        ("cached", "definition.function"),
+        ("Svc", "definition.class"),
+        ("value", "definition.function"),
+        ("outer", "definition.function"),
+        ("inner", "definition.function"),
+    ]
+    _, cached, svc, value, outer, inner = objs
+    body = src.encode()
+    assert body[cached.byte_start:cached.byte_end].startswith(b"def cached")
+    assert b"@functools.cache" not in body[cached.byte_start:cached.byte_end]
+    assert value.context_before == [svc.start_row]
+    assert inner.context_before == [outer.start_row]
+
+
+def test_typescript_methods_interfaces_namespaces():
+    """Reference TS/JS tag-query coverage beyond the fixtures
+    (codebased/parser.py:267-359): method_definition, method_signature,
+    namespaces, nested arrow declarators, assignment and object-literal
+    arrow functions."""
+    src = textwrap.dedent(
+        """
+        export interface Shape {
+            area(): number;
+            name: string;
+        }
+
+        export abstract class Base {
+            abstract area(): number;
+            describe(): string {
+                const tag = this.constructor.name;
+                return tag;
+            }
+        }
+
+        class Circle extends Base {
+            constructor(private r: number) {
+                super();
+            }
+            area(): number {
+                return 3.14 * this.r * this.r;
+            }
+            static origin() {
+                return new Circle(0);
+            }
+        }
+
+        namespace Geometry {
+            export function unit(): Circle {
+                return new Circle(1);
+            }
+        }
+
+        export const makeShape = (r: number) => new Circle(r);
+
+        function setup() {
+            const onReady = async () => {
+                return 1;
+            };
+            const handlers = {
+                click: (e: Event) => e,
+                close: function (e: Event) {
+                    return e;
+                },
+            };
+            window.onresize = () => handlers;
+            return onReady;
+        }
+        """
+    )
+    objs = chunk_text("src/shapes.ts", "typescript", src)
+    assert _nk(objs) == [
+        ("src/shapes.ts", "file"),
+        ("Shape", "definition.interface"),
+        ("area", "definition.method"),            # method_signature
+        ("Base", "definition.class"),
+        ("area", "definition.method"),            # abstract_method_signature
+        ("describe", "definition.method"),
+        ("Circle", "definition.class"),
+        ("constructor", "definition.method"),
+        ("area", "definition.method"),
+        ("origin", "definition.method"),
+        ("Geometry", "definition.module"),
+        ("unit", "definition.function"),
+        ("makeShape", "definition.function"),     # top-level arrow declarator
+        ("setup", "definition.function"),
+        ("onReady", "definition.function"),       # nested arrow declarator
+        ("click", "definition.function"),         # pair: arrow
+        ("close", "definition.function"),         # pair: function expression
+        ("onresize", "definition.function"),      # assignment: member + arrow
+    ]
+    body = src.encode()
+    by = {(o.name, o.kind): o for o in objs}
+    # declarator node spans name..value (no 'const', no ';')
+    mk = by[("makeShape", "definition.function")]
+    assert body[mk.byte_start:mk.byte_end] == b"makeShape = (r: number) => new Circle(r)"
+    # methods carry their enclosing class line as context
+    desc = by[("describe", "definition.method")]
+    base = by[("Base", "definition.class")]
+    assert desc.context_before == [base.start_row]
+    # namespace members see the namespace scope
+    unit = by[("unit", "definition.function")]
+    geo = by[("Geometry", "definition.module")]
+    assert unit.context_before == [geo.start_row]
+    # nested declarator sees the enclosing function line
+    onready = by[("onReady", "definition.function")]
+    setup_fn = by[("setup", "definition.function")]
+    assert onready.context_before == [setup_fn.start_row]

@@ -265,3 +265,90 @@ def test_cogrouped_deletes_match_fast_path(spark, tmp_path):
     assert fast == generic
     live_paths = {r["path"] for r in index.search_with_metadata("hello world", 32).collect()}
     assert "b.py" not in live_paths and live_paths == {"a.py", "c.md"}
+
+
+def _mk_corpus_rows(n):
+    """n docs all containing 'value' with varying tf and dl, plus tie
+    groups (identical tf+dl -> identical norms -> doc_id tie-breaks)."""
+    rows = []
+    for i in range(n):
+        reps = 1 + (i % 7)          # tf varies
+        pad = "x" * ((i * 13) % 97)  # dl varies
+        if i % 11 == 0:
+            reps, pad = 3, "y" * 20  # tie group: same tf, same dl
+        rows.append(
+            ("r1", f"f{i:05d}.txt", "c" * 40, "text",
+             ("value " * reps) + pad)
+        )
+    return rows
+
+
+@pytest.mark.parametrize("query,top_k", [
+    ('"value"', 5),    # single phrase, 3 trigrams -> emission pruning
+    ('"val"', 5),      # single trigram, content-only -> Block-Max WAND path
+    ('"val"', 32),
+    ('"alu"', 7),
+])
+def test_topk_pruning_stays_exact(spark, tmp_path, query, top_k):
+    """The exact-pruning layers (emission top-k + single-trigram WAND)
+    must be invisible in results: index path == brute force bit-for-bit
+    on a corpus big enough that every block prunes (600 docs >> 2*k,
+    multiple skip chunks per posting row, planted norm ties)."""
+    from codebased_spark.operators.query import SKIP_EVERY  # noqa: F401
+    from codebased_spark.operators.score import search_bruteforce
+    from codebased_spark.operators.docs import build_docs, corpus_stats
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = _mk_corpus_rows(600)
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    idx_dir = str(tmp_path / f"prune_{top_k}")
+    index = build_index(spark, corpus, idx_dir, num_blocks=2)
+
+    docs = build_docs(corpus, num_blocks=2)
+    n, avgdl = corpus_stats(docs)
+    want = [
+        (r["doc_id"], r["name_match"], round(r["score"], 12))
+        for r in search_bruteforce(docs, query, top_k, n, avgdl).collect()
+    ]
+    got = [
+        (r["doc_id"], r["name_match"], round(r["score"], 12))
+        for r in index.search(query, top_k).collect()
+    ]
+    assert got == want
+    assert len(got) == top_k  # the corpus saturates every k we test
+
+
+def test_single_trigram_wand_unit(spark):
+    """_single_trigram_wand == full-decode ranking on a synthetic row
+    with many chunks, adversarial bounds, and norm ties."""
+    import numpy as np
+
+    from codebased_spark.functions.codec import encode_posting_chunked
+    from codebased_spark.operators.build import _encode_row, POSTING_SCHEMA  # noqa: F401
+    from codebased_spark.operators.query import _Row, _norm_np, _single_trigram_wand
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype("int64")
+    tfs = rng.randint(1, 40, size=n).astype("int64")
+    tfs[::50] = 39  # ties at the top
+    dls = rng.randint(10, 5000, size=n).astype("int64")
+    flat_pos = np.concatenate([np.arange(t) for t in tfs]).astype("int64")
+    avgdl = 812.5
+
+    row = _encode_row(0, 123, 2, doc_ids, tfs, flat_pos, dls)
+    cols = ["pblock", "term", "col", "df",
+            "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
+            "skip_last", "skip_max_tf", "skip_min_dl",
+            "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off"]
+    rec = dict(zip(cols, row))
+    r = _Row(rec)
+
+    for k in (1, 5, 32, 500, 2000):
+        kd, kt, kl = _single_trigram_wand(_Row(dict(rec)), k, avgdl)
+        norms = _norm_np(tfs, dls, avgdl)
+        sel = np.lexsort((doc_ids, -norms))[:k]
+        want = np.sort(doc_ids[sel])
+        assert (kd == want).all(), k
+        idx = np.searchsorted(doc_ids, kd)
+        assert (kt == tfs[idx]).all() and (kl == dls[idx]).all()
