@@ -168,10 +168,55 @@ def semantic_topk(
     )
 
 
-def hybrid_search(index, features: DataFrame, query: str, top_k: int = 32) -> list[dict]:
+def semantic_radius(
+    features: DataFrame, query_text: str, radius: float = 2.0 ** 0.5,
+    k: int = 32, dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Q8 radius semantics: only results within the FAISS range_search
+    cutoff are returned (reference: search.py:134-138 passes
+    ``flags.radius`` — default sqrt(2), main.py:118-132 — to
+    IndexFlatL2.range_search, whose threshold applies to SQUARED L2).
+    On unit vectors squared L2 == 2 * (1 - cosine) == 2 * distance, so
+    the filter is ``2 * distance < radius``. The reference then
+    truncates the UNSORTED range result to top_k (its documented
+    quirk); we sort before truncating, which strictly improves recall
+    for the same k — the cutoff semantics ("nothing farther than r")
+    are identical."""
+    base = semantic_topk(features, query_text, k, dim)
+    return base.filter(2.0 * F.col("distance") < F.lit(float(radius)))
+
+
+def apply_rerank(results: list[dict], proposed_ids: list[int]) -> list[dict]:
+    """Q10 rerank contract (reference: search.py:226-232): keep exactly
+    the proposed ids, in proposed order, silently dropping ids the
+    result set doesn't contain; results not proposed are excluded
+    (that's how the LLM culls irrelevant hits). The proposer itself is
+    pluggable — the reference calls OpenAI (search.py:182-225), an
+    external service out of rebuild scope."""
+    by_id = {int(r["doc_id"]): r for r in results}
+    out = []
+    for rid in proposed_ids:
+        hit = by_id.pop(int(rid), None)
+        if hit is not None:
+            out.append(hit)
+    return out
+
+
+def hybrid_search(
+    index, features: DataFrame, query: str, top_k: int = 32,
+    radius: "float | None" = None, rerank=None,
+) -> list[dict]:
     """The reference's search_once composition (codebased/search.py:
     384-401): semantic top-k + full-text two-branch top-k, merged with
-    the 3-tier ranking. Driver-side merge over <= 2k collected rows."""
+    the 3-tier ranking, then the optional rerank stage. Driver-side
+    merge over <= 2k collected rows.
+
+    ``radius``: when set, the semantic side applies the range_search
+    cutoff (see :func:`semantic_radius`).
+    ``rerank``: optional callable ``(query, results) -> list[doc_id]``
+    — the pluggable stand-in for the reference's LLM reranker; its
+    proposal is applied under the reference's id-matching contract
+    (:func:`apply_rerank`)."""
     from codebased_spark.operators.render import merge_results
 
     fts_rows = [
@@ -179,8 +224,16 @@ def hybrid_search(index, features: DataFrame, query: str, top_k: int = 32) -> li
          "score": float(r["score"])}
         for r in index.search(query, top_k).collect()
     ]
+    sem = (
+        semantic_topk(features, query, top_k)
+        if radius is None
+        else semantic_radius(features, query, radius, top_k)
+    )
     sem_rows = [
         {"doc_id": int(r["doc_id"]), "distance": float(r["distance"])}
-        for r in semantic_topk(features, query, top_k).collect()
+        for r in sem.collect()
     ]
-    return merge_results(sem_rows, fts_rows)
+    merged = merge_results(sem_rows, fts_rows)
+    if rerank is not None:
+        merged = apply_rerank(merged, rerank(query, merged))
+    return merged

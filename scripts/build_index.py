@@ -21,25 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True, help="Iceberg table name or parquet path")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--corpus", help="Iceberg table name or parquet path")
+    src.add_argument("--repo", help="path inside a git checkout: walk it "
+                     "gitignore-aware (the reference's first-contact path)")
+    src.add_argument("--synthetic", type=int, default=0,
+                     help="index N generated files (demo)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--num-blocks", type=int, default=32,
                     help="doc blocks; size so a block's tokens fit a task (~1e8 max)")
     ap.add_argument("--chunk", action="store_true", help="emit per-definition docs")
     ap.add_argument("--resume", action="store_true", help="skip completed stages")
-    ap.add_argument("--synthetic", type=int, default=0,
-                    help="instead of --corpus data, index N generated files (demo)")
     args = ap.parse_args()
 
     from codebased_spark.session import get_spark
     from codebased_spark.sources.corpus import gen_corpus, read_corpus
 
     spark = get_spark(app_name="codebased-build")
-    corpus = (
-        gen_corpus(spark, max(1, args.synthetic // 10), 10)
-        if args.synthetic
-        else read_corpus(spark, args.corpus)
-    )
+    if args.synthetic:
+        corpus = gen_corpus(spark, max(1, args.synthetic // 10), 10)
+    elif args.repo:
+        from codebased_spark.sources.gitwalk import repo_corpus
+
+        corpus = repo_corpus(spark, args.repo)
+    else:
+        corpus = read_corpus(spark, args.corpus)
 
     from codebased_spark.plans.engine import build_index
 
