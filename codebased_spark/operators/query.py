@@ -289,6 +289,35 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
     return common[hit], tf[hit], dls[hit]
 
 
+def _pareto_survivors(tfs, dl, doc_ids, avgdl, top_k, cap=8192):
+    """Boolean mask of docs NOT Pareto-dominated by >= top_k block-mates.
+
+    Multi-phrase rank = sum_i idf_i * norm_i with every idf_i > 0 but
+    unknown inside the task. If norm_i(Y) >= norm_i(X) for all phrases
+    with one strict — or all equal and doc_id(Y) < doc_id(X) — then Y
+    sorts strictly before X under EVERY positive weight vector, so a
+    doc with >= top_k dominators can never reach the global branch
+    top-k. O(n²·p) vectorized; above ``cap`` docs pruning is skipped
+    (correct, just un-pruned — the JVM top-k absorbs it)."""
+    n, p = tfs.shape
+    if n > cap:
+        return np.ones(n, dtype=bool)
+    N = np.empty((n, p))
+    for i in range(p):
+        N[:, i] = _norm_np(tfs[:, i], dl, avgdl)
+    keep = np.ones(n, dtype=bool)
+    step = max(1, (1 << 22) // max(n, 1))
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        X = N[s:e]
+        ge = (N[None, :, :] >= X[:, None, :]).all(axis=2)
+        gt = (N[None, :, :] > X[:, None, :]).any(axis=2)
+        idlt = doc_ids[None, :] < doc_ids[s:e, None]
+        dom = ge & (gt | idlt)
+        keep[s:e] = dom.sum(axis=1) < top_k
+    return keep
+
+
 def _single_trigram_wand(r: _Row, top_k: int, avgdl: float):
     """Block-Max WAND over ONE posting row: exact top-k docs by
     norm(tf, dl) using the stored per-chunk (skip_max_tf, skip_min_dl)
@@ -416,21 +445,39 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
                 if dl is None:
                     dl = dlv[ix]
             if (
-                n_ph == 1 and top_k and avgdl is not None
+                top_k and avgdl is not None
                 and common.size > 2 * top_k
             ):
-                # EXACT emission pruning: both final branches rank by a
-                # positive constant (the global idf) times norm(tf, dl),
-                # so any doc outside its block's branch top-k by norm is
-                # beaten by >= top_k docs globally too. df stats (kind=0
-                # rows) were taken above, BEFORE pruning — idf is exact.
+                # EXACT emission pruning. df stats (kind=0 rows) were
+                # taken above, BEFORE pruning — idf is exact.
+                #
+                # n_ph == 1: both final branches rank by a positive
+                # constant (the global idf) times norm(tf, dl), so any
+                # doc outside its block's branch top-k by norm is beaten
+                # by >= top_k docs globally too.
+                #
+                # n_ph > 1: rank = sum_i idf_i * norm_i with idf_i > 0
+                # unknown at task time — no total order exists, but
+                # PARETO DOMINANCE does: if norm_i(Y) >= norm_i(X) for
+                # every phrase (doc_id breaking full ties), Y outranks X
+                # under EVERY weight vector. A doc dominated by >= top_k
+                # block-mates cannot reach the global branch top-k.
                 keep = np.zeros(common.size, dtype=bool)
-                na = _norm_np(tfs_all[:, 0], dl, avgdl)
-                keep[np.lexsort((common, -na))[:top_k]] = True
-                named = np.flatnonzero(tfs_name[:, 0] > 0)
-                if named.size:
-                    nn = _norm_np(tfs_name[named, 0], dl[named], avgdl)
-                    keep[named[np.lexsort((common[named], -nn))[:top_k]]] = True
+                named = np.flatnonzero((tfs_name > 0).all(axis=1))
+                if n_ph == 1:
+                    na = _norm_np(tfs_all[:, 0], dl, avgdl)
+                    keep[np.lexsort((common, -na))[:top_k]] = True
+                    if named.size:
+                        nn = _norm_np(tfs_name[named, 0], dl[named], avgdl)
+                        keep[named[np.lexsort((common[named], -nn))[:top_k]]] = True
+                else:
+                    keep |= _pareto_survivors(tfs_all, dl, common, avgdl, top_k)
+                    if named.size:
+                        sub = np.zeros(named.size, dtype=bool)
+                        sub |= _pareto_survivors(
+                            tfs_name[named], dl[named], common[named], avgdl, top_k
+                        )
+                        keep[named[sub]] = True
                 common, dl = common[keep], dl[keep]
                 tfs_all, tfs_name = tfs_all[keep], tfs_name[keep]
             doc_frame = (common, dl, list(tfs_all), list(tfs_name))

@@ -352,3 +352,36 @@ def test_single_trigram_wand_unit(spark):
         assert (kd == want).all(), k
         idx = np.searchsorted(doc_ids, kd)
         assert (kt == tfs[idx]).all() and (kl == dls[idx]).all()
+
+
+@pytest.mark.parametrize("query,top_k", [
+    ('"value" "xke"', 3),
+    ("table merge", 5),
+    ('"aa" "bb"', 5),       # sub-trigram phrases -> empty, no pruning crash
+])
+def test_multiphrase_pareto_pruning_exact(spark, tmp_path, query, top_k):
+    """Multi-phrase emission pruning (Pareto dominance) must be
+    invisible: index == brute force on a corpus where both phrases are
+    common, tfs are correlated AND anti-correlated, and ties exist."""
+    from codebased_spark.operators.docs import build_docs, corpus_stats
+    from codebased_spark.operators.score import search_bruteforce
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = []
+    for i in range(400):
+        a = 1 + (i % 5)          # "value" tf
+        b = 1 + ((i * 7) % 4)    # "xke" tf (anti-correlated pattern)
+        if i % 13 == 0:
+            a, b = 2, 2          # tie groups
+        body = ("value " * a) + ("xke " * b) + ("table merge " * (i % 3)) + "z" * (i % 50)
+        rows.append(("r1", f"p{i:04d}.txt", "c" * 40, "text", body))
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    index = build_index(spark, corpus, str(tmp_path / "mp"), num_blocks=2)
+
+    docs = build_docs(corpus, num_blocks=2)
+    n, avgdl = corpus_stats(docs)
+    want = [(r["doc_id"], r["name_match"], round(r["score"], 12))
+            for r in search_bruteforce(docs, query, top_k, n, avgdl).collect()]
+    got = [(r["doc_id"], r["name_match"], round(r["score"], 12))
+           for r in index.search(query, top_k).collect()]
+    assert got == want
