@@ -443,6 +443,66 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_indexed(spark, sig_dir, probe_vec_id=0, k=10)
 
 
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (the LSH-banded
+    scale variant is pinned to this output in tests/test_sessionize.py).
+    Threshold 0.3: the synthetic embeddings carry no true near-dups, so
+    a moderate cutoff exercises the pair math on ~1k rows."""
+    from codebased_spark.operators.simsearch import cosine_pairs_exact
+
+    return cosine_pairs_exact(_embeddings(spark, sf_dir), threshold=0.3)
+
+
+COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            6) >= 0.3
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30 min) over the events table — the batch
+    form of streaming/sessionize.py (its applyInPandasWithState twin is
+    pinned equal in tests/test_sessionize.py)."""
+    from codebased_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "session_start", "session_end",
+        "n_events", "sum_value",
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic synthetic media table ->
     binary-payload feature extraction -> exact cosine top-10 (rows-only:
@@ -648,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": q_events_windowed_agg,
         "topk_per_user": q_topk_per_user,
         "semi_anti_join": q_semi_anti_join,
+        "cosine_near_dup_pairs": q_cosine_pairs,
+        "sessionize_events": q_sessionize,
     }
 
 
@@ -673,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": EVENTS_WINDOW_SQL,
         "topk_per_user": TOPK_PER_USER_SQL,
         "semi_anti_join": SEMI_ANTI_SQL,
+        "cosine_near_dup_pairs": COSINE_PAIRS_SQL,
+        "sessionize_events": SESSIONIZE_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

@@ -160,6 +160,85 @@ def build_ann_index(
     ).parquet(out_path)
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame, threshold: float, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact: every unordered pair with
+    round(cosine, 6) >= threshold. Correctness baseline — an O(n²)
+    cross join with JVM-side dot products (rounding happens BEFORE the
+    threshold so engines agree at the boundary). At fleet scale use
+    :func:`cosine_pairs_lsh`, which bounds the pair space by signature
+    banding before the exact filter."""
+    withn = embeddings.select(
+        "vec_id", F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: random-hyperplane
+    signatures, banded self-join (two vectors are candidates when any
+    ``band_bits``-bit signature band agrees — P[plane agrees] =
+    1 - θ/π, so high-cosine pairs collide in some band w.h.p.), then
+    the SAME exact rounded-cosine filter as :func:`cosine_pairs_exact`.
+    Candidates only materialize inside band buckets: the shuffle is
+    O(n · bands), never O(n²). Approximate in RECALL only (a missed
+    band means a missed candidate); emitted pairs are exact."""
+    sigs = hyperplane_signatures(embeddings, dim, vec_col, n_planes)
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        "vec_id", F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("lsh_sig", b * band_bits).bitwiseAND(mask).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "v", "nrm", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def ann_topk_indexed(
     spark,
     index_path: str,

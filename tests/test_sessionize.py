@@ -1,0 +1,137 @@
+"""Gap sessionization: batch (oracle-able window algebra) vs streaming
+(applyInPandasWithState) must implement the same session semantics."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(eid, minute, user, value=1.0, second=0):
+    return (eid, dt.datetime(2024, 1, 1, minute // 60, minute % 60, second),
+            user, "click", value, "{}")
+
+
+ROWS = [
+    # user 1: two sessions split by a 45-min gap
+    _ev(0, 0, 1), _ev(1, 5, 1, 2.5), _ev(2, 20, 1),
+    _ev(3, 65, 1, 4.0), _ev(4, 80, 1),
+    # user 2: one session, events arriving with exact-gap boundary
+    _ev(5, 10, 2), _ev(6, 40, 2),          # exactly 30min -> SAME session
+    _ev(7, 71, 2),                          # 31min -> new session
+    # user 3: single event
+    _ev(8, 0, 3, 9.9),
+    # tie timestamps break by event_id
+    _ev(9, 90, 1, 1.0, second=0), _ev(10, 90, 1, 2.0, second=0),
+]
+
+
+def _batch_sessions(spark):
+    from codebased_spark.streaming.sessionize import sessionize_batch
+
+    df = spark.createDataFrame(ROWS, EVENTS_SCHEMA)
+    return {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], round(r["sum_value"], 6))
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+
+
+def test_batch_sessionize_semantics(spark):
+    got = _batch_sessions(spark)
+    # user 1: sessions [0,20], [65,90] (90-tie events join the 80 one: 10min gaps)
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:20:00", 3, 4.5)
+    assert got[(1, "2024-01-01 01:05:00")] == ("2024-01-01 01:30:00", 4, 8.0)
+    # user 2: exact 30-min gap does NOT split (strictly-greater rule)
+    assert got[(2, "2024-01-01 00:10:00")] == ("2024-01-01 00:40:00", 2, 2.0)
+    assert got[(2, "2024-01-01 01:11:00")] == ("2024-01-01 01:11:00", 1, 1.0)
+    assert got[(3, "2024-01-01 00:00:00")] == ("2024-01-01 00:00:00", 1, 9.9)
+
+
+def test_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Feed the same events through the stateful streaming sessionizer
+    in two micro-batches; every session the batch form closes before
+    the final open one must be emitted, identically."""
+    from codebased_spark.streaming.sessionize import sessionize_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    first = [r for r in ROWS if r[0] <= 5]
+    second = [r for r in ROWS if r[0] > 5]
+    spark.createDataFrame(first, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(second, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = _batch_sessions(spark)
+    # the stream emits exactly the batch sessions that a LATER event
+    # closed; per-user tail sessions stay open in state
+    open_tails = {
+        (1, "2024-01-01 01:05:00"),  # user 1's last session
+        (2, "2024-01-01 01:11:00"),
+        (3, "2024-01-01 00:00:00"),
+    }
+    assert set(streamed) == set(batch) - open_tails
+    for k, v in streamed.items():
+        assert v == batch[k], k
+
+
+def test_cosine_pairs_lsh_recall(spark):
+    """cosine_pairs_lsh: every emitted pair is exact (subset of the
+    exact operator's output) and recall on planted near-dups is
+    perfect at high thresholds."""
+    import numpy as np
+
+    from codebased_spark.operators.simsearch import (
+        cosine_pairs_exact,
+        cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 32)).astype("float32")
+    vecs = list(base)
+    planted = []
+    for j in range(5):  # near-dup: tiny perturbation -> cosine ~0.999
+        v = base[j] + rng.standard_normal(32).astype("float32") * 0.02
+        planted.append((j, 40 + j))
+        vecs.append(v.astype("float32"))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in cosine_pairs_exact(emb, 0.9).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in cosine_pairs_lsh(emb, 0.9, dim=32).collect()}
+    assert set(planted) <= set(exact)
+    assert set(lsh) <= set(exact)          # no false positives, same values
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    assert set(planted) <= set(lsh)        # planted near-dups all recalled
