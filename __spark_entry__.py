@@ -503,6 +503,47 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation funnel over documents: the
+    deterministic rules (length gates, exact + prefix dedup, punctuation
+    quality) verified end-to-end; the MinHash near-dup stage is
+    bucket-hash-dependent and covered by unit tests instead."""
+    from codebased_spark.operators.curate import curate_corpus
+
+    return curate_corpus(_documents(spark, sf_dir))
+
+
+CURATE_SQL = """
+WITH flagged AS (
+  SELECT doc_id,
+         length(lower(coalesce(text, ''))) AS n_chars,
+         round((length(lower(coalesce(text, '')))
+                - length(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')))::DOUBLE
+               / greatest(length(lower(coalesce(text, ''))), 1), 6) AS punct_ratio,
+         min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS exact_canon,
+         min(doc_id) OVER (PARTITION BY md5(array_to_string(
+             list_slice(string_split_regex(lower(coalesce(text, '')), ' +'), 1, 5), ' '))) AS prefix_canon
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN n_chars < 20 THEN 'too_short'
+         WHEN n_chars > 100000 THEN 'too_long'
+         WHEN doc_id <> exact_canon THEN 'exact_duplicate'
+         WHEN doc_id <> prefix_canon THEN 'near_duplicate_prefix'
+         WHEN punct_ratio > 0.30 THEN 'high_punctuation'
+       END IS NULL AS keep,
+       CASE
+         WHEN n_chars < 20 THEN 'too_short'
+         WHEN n_chars > 100000 THEN 'too_long'
+         WHEN doc_id <> exact_canon THEN 'exact_duplicate'
+         WHEN doc_id <> prefix_canon THEN 'near_duplicate_prefix'
+         WHEN punct_ratio > 0.30 THEN 'high_punctuation'
+       END AS drop_reason
+FROM flagged
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic synthetic media table ->
     binary-payload feature extraction -> exact cosine top-10 (rows-only:
@@ -710,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "cosine_near_dup_pairs": q_cosine_pairs,
         "sessionize_events": q_sessionize,
+        "curate_corpus": q_curate,
     }
 
 
@@ -737,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_join": SEMI_ANTI_SQL,
         "cosine_near_dup_pairs": COSINE_PAIRS_SQL,
         "sessionize_events": SESSIONIZE_SQL,
+        "curate_corpus": CURATE_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

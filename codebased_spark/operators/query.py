@@ -362,30 +362,39 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
     ``top_k``/``avgdl`` enable two EXACT pruning layers (see module
     docstring "Top-k pruning"):
     - single-trigram content-only queries take the Block-Max WAND path
-      (skip-metadata chunk skipping; only when ``cache`` is None — the
-      batch memo must stay unpruned because a multi-phrase query may
-      share the phrase);
-    - every single-phrase query emits only its block-local branch top-k
-      instead of all matching docs (df stats stay full).
+      (skip-metadata chunk skipping; memoized under a dedicated cache
+      key in batch mode so a multi-phrase query sharing the trigram
+      still sees the UNPRUNED per-phrase frames);
+    - single-phrase queries emit only their block-local branch top-k,
+      multi-phrase queries their Pareto non-dominated set, instead of
+      all matching docs (df stats stay full either way).
     """
     n_ph = len(phrase_term_ids)
     if (
         n_ph == 1 and len(phrase_term_ids[0]) == 1
-        and cache is None and deleted is None
+        and deleted is None
         and top_k and avgdl is not None
     ):
         t = phrase_term_ids[0][0]
         if rows.get((t, 0)) is None and rows.get((t, 1)) is None:
+            ck = (int(t), "wand", int(top_k))
+            got = cache.get(ck) if cache is not None else None
+            if got is not None:
+                return got
             r = rows.get((t, 2))
             if r is None:
-                return [], None
-            docs, tfs, dls = _single_trigram_wand(r, top_k, avgdl)
-            tfs_name = np.zeros(docs.size, dtype=np.int64)
-            return (
-                [(0, int(r.df), 0)],
-                (docs, dls, list(tfs.reshape(-1, 1)),
-                 list(tfs_name.reshape(-1, 1))),
-            )
+                out = ([], None)
+            else:
+                docs, tfs, dls = _single_trigram_wand(r, top_k, avgdl)
+                tfs_name = np.zeros(docs.size, dtype=np.int64)
+                out = (
+                    [(0, int(r.df), 0)],
+                    (docs, dls, list(tfs.reshape(-1, 1)),
+                     list(tfs_name.reshape(-1, 1))),
+                )
+            if cache is not None:
+                cache[ck] = out
+            return out
     stats = []
     per_phrase = []
     for pi, terms in enumerate(phrase_term_ids):

@@ -148,7 +148,8 @@ def test_batch_search_matches_individual(spark, built):
     """search_batch must be bit-identical per query to search(), and
     tolerate invalid/no-match queries mixed into the batch."""
     index, _ = built
-    queries = ["Hello world", "Server started", "code hello", "zz", "nomatchxyz", ""]
+    queries = ["Hello world", "Server started", "code hello", "zz", "nomatchxyz", "",
+               '"wor"', '"hel" "wor"']  # single-trigram WAND + shared-phrase mix
     batch = index.search_batch(queries, top_k=10)
     by_q = {}
     for r in batch.collect():

@@ -307,3 +307,53 @@ def test_decode_pixels_uses_real_codec_when_available(monkeypatch):
     fake_image_mod.open = boom
     fb = _decode_pixels(b"\x00\x01", 4, 4, 3)
     assert (fb == _fake_pixels(b"\x00\x01", 4, 4, 3)).all()
+
+
+def test_curate_corpus_reasons_and_report(spark):
+    """Curation funnel: first-match reason priority, canonical-doc
+    retention, the near-dup LSH stage, and the funnel report."""
+    from codebased_spark.operators.curate import curate_corpus, curation_report
+
+    long_text = "word " * 30000  # 150k chars -> too_long
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                              # exact dup of 0 -> dropped
+        (2, "short"),                           # too_short
+        (3, long_text),                         # too_long
+        (4, "the quick brown fox jumps NOW something entirely different here"),
+        # ^ shares 5-word prefix with 0 -> near_duplicate_prefix
+        (5, "!!!! ???? ;;;; @@@@ %%%% ^^^^ &&&& ****"),  # high_punctuation
+        (6, "a perfectly ordinary sentence that survives the whole funnel"),
+        (7, base + " with a changed tail that minhash still buckets together"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in curate_corpus(docs).collect()}
+    assert got[0] == (True, None)            # canonical copy kept
+    assert got[1] == (False, "exact_duplicate")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "too_long")
+    assert got[4] == (False, "near_duplicate_prefix")
+    assert got[5] == (False, "high_punctuation")
+    assert got[6] == (True, None)
+    # doc 7 shares the prefix too -> prefix rule catches it first
+    assert got[7] == (False, "near_duplicate_prefix")
+
+    # near-dup stage: make 7 survive the prefix rule by changing a word
+    rows2 = [r for r in rows if r[0] != 7] + [
+        (7, "the quick brown wolf jumps over the lazy dog again and again")
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    plain = {r["doc_id"]: r["keep"] for r in curate_corpus(docs2).collect()}
+    assert plain[7] is True                  # survives deterministic rules
+    nd = {r["doc_id"]: (r["keep"], r["drop_reason"])
+          for r in curate_corpus(docs2, near_dup=True).collect()}
+    assert nd[7] == (False, "near_duplicate_minhash")
+    assert nd[0] == (True, None)             # lower doc_id of the pair kept
+
+    rep = {r["outcome"]: r["n"] for r in
+           curation_report(curate_corpus(docs)).collect()}
+    assert rep["kept"] == 2
+    assert sum(rep.values()) == len(rows)
