@@ -482,8 +482,7 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
                 else:
                     keep |= _pareto_survivors(tfs_all, dl, common, avgdl, top_k)
                     if named.size:
-                        sub = np.zeros(named.size, dtype=bool)
-                        sub |= _pareto_survivors(
+                        sub = _pareto_survivors(
                             tfs_name[named], dl[named], common[named], avgdl, top_k
                         )
                         keep[named[sub]] = True
