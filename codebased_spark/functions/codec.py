@@ -102,6 +102,12 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     return c - np.repeat(base, tfs)
 
 
+def _varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value (LEB128)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
+
+
 def encode_posting_chunked(
     doc_ids: np.ndarray, tfs: np.ndarray, flat_pos: np.ndarray, dls: np.ndarray
 ):
@@ -112,46 +118,60 @@ def encode_posting_chunked(
     (doc_bytes, tf_bytes, pos_bytes, dl_bytes,
      skip_last, skip_max_tf, skip_min_dl,
      skip_doc_off, skip_tf_off, skip_pos_off, skip_dl_off)
-    where skip_*_off[i] is the byte offset of chunk i in each stream."""
+    where skip_*_off[i] is the byte offset of chunk i in each stream.
+
+    Each stream is encoded in ONE vectorized pass (varint bytes are
+    per-value independent, so whole-stream encoding is byte-identical
+    to per-chunk encoding — property-tested); chunk offsets come from a
+    prefix sum of per-value byte sizes, not from encoding chunks
+    separately. This removed the per-chunk Python loop that dominated
+    the round-1 build profile."""
     n = doc_ids.size
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     flat_pos = np.asarray(flat_pos, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
 
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return (b"", b"", b"", b"", z, z, z, z.copy(), z.copy(), z.copy(), z.copy())
+
+    starts = np.arange(0, n, SKIP_EVERY)
+
     # doc deltas with a reset (absolute value) at each chunk start
     deltas = np.empty(n, dtype=np.int64)
-    if n:
-        deltas[0] = doc_ids[0]
-        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
-        starts = np.arange(0, n, SKIP_EVERY)
-        deltas[starts] = doc_ids[starts]
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[starts] = doc_ids[starts]
 
-    pos_offs_per_doc = np.cumsum(tfs) - tfs
-    doc_parts, tf_parts, pos_parts, dl_parts = [], [], [], []
-    d_off, t_off, p_off, l_off = [0], [0], [0], [0]
-    for s in range(0, n, SKIP_EVERY):
-        e = min(s + SKIP_EVERY, n)
-        doc_parts.append(encode_varint(deltas[s:e]))
-        tf_parts.append(encode_varint(tfs[s:e]))
-        ps = int(pos_offs_per_doc[s])
-        pe = int(pos_offs_per_doc[e - 1] + tfs[e - 1]) if e > s else ps
-        pos_parts.append(encode_positions(flat_pos[ps:pe], tfs[s:e]))
-        dl_parts.append(encode_varint(dls[s:e]))
-        d_off.append(d_off[-1] + len(doc_parts[-1]))
-        t_off.append(t_off[-1] + len(tf_parts[-1]))
-        p_off.append(p_off[-1] + len(pos_parts[-1]))
-        l_off.append(l_off[-1] + len(dl_parts[-1]))
+    # position stream: per-doc delta chains (encode_positions semantics,
+    # inlined so the same delta array yields both bytes and sizes)
+    doc_pos_starts = np.cumsum(tfs) - tfs
+    if flat_pos.size:
+        pd_ = np.empty_like(flat_pos)
+        pd_[0] = flat_pos[0]
+        np.subtract(flat_pos[1:], flat_pos[:-1], out=pd_[1:])
+        pd_[doc_pos_starts] = flat_pos[doc_pos_starts]  # absolute at doc starts
+        pos_b = encode_varint(pd_)
+        pos_sizes = _varint_sizes(pd_)
+    else:
+        pos_b = b""
+        pos_sizes = np.empty(0, dtype=np.int64)
+
+    def offsets(sizes: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0], np.cumsum(sizes)))
+        return cum[idx]
+
+    d_off = offsets(_varint_sizes(deltas), starts)
+    t_off = offsets(_varint_sizes(tfs), starts)
+    l_off = offsets(_varint_sizes(dls), starts)
+    p_off = offsets(pos_sizes, doc_pos_starts[starts])
 
     skip_last, skip_maxtf, skip_mindl = build_skips(doc_ids, tfs, dls)
     return (
-        b"".join(doc_parts), b"".join(tf_parts), b"".join(pos_parts),
-        b"".join(dl_parts),
+        encode_varint(deltas), encode_varint(tfs), pos_b, encode_varint(dls),
         skip_last, skip_maxtf, skip_mindl,
-        np.array(d_off[:-1], dtype=np.int64),
-        np.array(t_off[:-1], dtype=np.int64),
-        np.array(p_off[:-1], dtype=np.int64),
-        np.array(l_off[:-1], dtype=np.int64),
+        d_off, t_off, p_off, l_off,
     )
 
 
@@ -182,13 +202,9 @@ def build_skips(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
     n = doc_ids.size
     if n == 0:
         return (np.empty(0, np.int64),) * 3
-    nchunks = (n + SKIP_EVERY - 1) // SKIP_EVERY
-    last = np.empty(nchunks, dtype=np.int64)
-    maxtf = np.empty(nchunks, dtype=np.int64)
-    mindl = np.empty(nchunks, dtype=np.int64)
-    for i in range(nchunks):
-        s, e = i * SKIP_EVERY, min((i + 1) * SKIP_EVERY, n)
-        last[i] = doc_ids[e - 1]
-        maxtf[i] = tfs[s:e].max()
-        mindl[i] = dls[s:e].min()
+    starts = np.arange(0, n, SKIP_EVERY)
+    ends = np.minimum(starts + SKIP_EVERY, n)
+    last = np.asarray(doc_ids, dtype=np.int64)[ends - 1]
+    maxtf = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), starts)
+    mindl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), starts)
     return last, maxtf, mindl

@@ -206,11 +206,15 @@ def _fused_batches(it):
     """
     from codebased_spark.functions.fts5 import tokenize_packed
 
-    # bandwidth-lean accumulation: per token only (term:int64,
-    # packed (col,local_doc):int64, pos:int32). dl is per-DOC sideband,
-    # never replicated per token. The sandbox profiles memory-bandwidth
-    # bound on the sort, so every byte per token costs scaling.
-    terms_l, key_l, pos_l = [], [], []
+    # bandwidth-lean accumulation: per token only the TERM array is
+    # materialized during the scan; the (col, local_doc) key and the
+    # position columns are reconstructed afterwards from per-SEGMENT
+    # metadata (one scalar key + one length per (doc, col)) with two
+    # vectorized repeats — round 1's per-segment np.full/arange allocs
+    # were a measurable share of the build profile.
+    terms_l: list[np.ndarray] = []
+    seg_key: list[int] = []
+    seg_len: list[int] = []
     doc_dl: dict[int, int] = {}
     base_doc = None
 
@@ -234,17 +238,19 @@ def _fused_batches(it):
                 if t.size == 0:
                     continue
                 terms_l.append(t)
-                pos_l.append(np.arange(t.size, dtype=np.int32))
-                key_l.append(
-                    np.full(t.size, (col << DOC_ID_BLOCK_BITS) | local, dtype=np.int64)
-                )
+                seg_key.append((col << DOC_ID_BLOCK_BITS) | local)
+                seg_len.append(t.size)
 
     if not terms_l:
         return
     terms = np.concatenate(terms_l)
-    keys = np.concatenate(key_l)
-    poss = np.concatenate(pos_l)
-    del terms_l, key_l, pos_l
+    lens = np.asarray(seg_len, dtype=np.int64)
+    keys = np.repeat(np.asarray(seg_key, dtype=np.int64), lens)
+    seg_starts = np.cumsum(lens) - lens
+    poss = (
+        np.arange(terms.size, dtype=np.int64) - np.repeat(seg_starts, lens)
+    ).astype(np.int32)
+    del terms_l, seg_key, seg_len, lens, seg_starts
 
     order = np.lexsort((keys, terms))  # stable: pos stays ascending
     terms, keys, poss = terms[order], keys[order], poss[order]

@@ -124,3 +124,55 @@ def test_skips():
     assert last.tolist() == [1000 + SKIP_EVERY - 1, 1000 + 2 * SKIP_EVERY - 1, 1000 + n - 1]
     assert maxtf.tolist() == [SKIP_EVERY, 2 * SKIP_EVERY, n]
     assert mindl.tolist() == [50, 50 + SKIP_EVERY, 50 + 2 * SKIP_EVERY]
+
+
+def test_whole_stream_encode_equals_per_chunk_encode():
+    """The r2 vectorized encoder relies on varint bytes being per-value
+    independent: whole-stream encoding must be byte-identical to
+    encoding each SKIP_EVERY chunk separately, and the offset arrays
+    must point at exactly those chunk boundaries."""
+    import numpy as np
+
+    from codebased_spark.functions.codec import (
+        SKIP_EVERY,
+        encode_posting_chunked,
+        encode_positions,
+        encode_varint,
+    )
+
+    rng = np.random.RandomState(9)
+    for n in (1, 127, 128, 129, 1000, 5000):
+        doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype("int64")
+        tfs = rng.randint(1, 30, size=n).astype("int64")
+        dls = rng.randint(1, 10**6, size=n).astype("int64")
+        flat_pos = np.concatenate(
+            [np.sort(rng.choice(10**5, size=t, replace=False)) for t in tfs]
+        ).astype("int64")
+
+        (doc_b, tf_b, pos_b, dl_b, _l, _mt, _md,
+         d_off, t_off, p_off, l_off) = encode_posting_chunked(doc_ids, tfs, flat_pos, dls)
+
+        # reference: encode chunk by chunk (the r1 formulation)
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        starts = np.arange(0, n, SKIP_EVERY)
+        deltas[starts] = doc_ids[starts]
+        pos_doc_starts = np.cumsum(tfs) - tfs
+        parts = {"doc": [], "tf": [], "pos": [], "dl": []}
+        for s in range(0, n, SKIP_EVERY):
+            e = min(s + SKIP_EVERY, n)
+            parts["doc"].append(encode_varint(deltas[s:e]))
+            parts["tf"].append(encode_varint(tfs[s:e]))
+            ps = int(pos_doc_starts[s])
+            pe = int(pos_doc_starts[e - 1] + tfs[e - 1])
+            parts["pos"].append(encode_positions(flat_pos[ps:pe], tfs[s:e]))
+            parts["dl"].append(encode_varint(dls[s:e]))
+
+        assert doc_b == b"".join(parts["doc"])
+        assert tf_b == b"".join(parts["tf"])
+        assert pos_b == b"".join(parts["pos"])
+        assert dl_b == b"".join(parts["dl"])
+        for off, key in ((d_off, "doc"), (t_off, "tf"), (p_off, "pos"), (l_off, "dl")):
+            want = np.cumsum([0] + [len(b) for b in parts[key]])[:-1]
+            assert (off == want).all(), key
