@@ -245,8 +245,8 @@ def _fused_batches(it):
         return
     terms = np.concatenate(terms_l)
     lens = np.asarray(seg_len, dtype=np.int64)
-    keys = np.repeat(np.asarray(seg_key, dtype=np.int64), lens)
     seg_starts = np.cumsum(lens) - lens
+    keys = np.repeat(np.asarray(seg_key, dtype=np.int64), lens)
     poss = (
         np.arange(terms.size, dtype=np.int64) - np.repeat(seg_starts, lens)
     ).astype(np.int32)
