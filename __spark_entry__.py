@@ -443,6 +443,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_indexed(spark, sig_dir, probe_vec_id=0, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via the IVF coarse-quantizer index (build + probe through
+    the persisted structure). nprobe == n_lists makes the result
+    EXACTLY the brute-force cosine ranking, so the whole index
+    roundtrip (deterministic k-means fit, partitioned assignment
+    tables, list pruning, exact re-rank) sits under the same oracle as
+    `cosine_similarity`. Small-nprobe recall is covered by unit tests
+    (tests/test_sessionize.py::test_ivf_index_recall_and_pruning)."""
+    import os
+    import shutil
+    import tempfile
+
+    from codebased_spark.operators.ivf import build_ivf_index, ivf_topk
+
+    idx = os.path.join(tempfile.gettempdir(), "gate_ivf_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(_embeddings(spark, sf_dir), idx, n_lists=8, iters=3)
+    return ivf_topk(spark, idx, probe_vec_id=0, k=K_ALL, nprobe=8)
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact baseline (the LSH-banded
     scale variant is pinned to this output in tests/test_sessionize.py).
@@ -752,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup_pairs": q_cosine_pairs,
         "sessionize_events": q_sessionize,
         "curate_corpus": q_curate,
+        "ann_topk_ivf": q_ann_ivf,
     }
 
 
@@ -780,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup_pairs": COSINE_PAIRS_SQL,
         "sessionize_events": SESSIONIZE_SQL,
         "curate_corpus": CURATE_SQL,
+        "ann_topk_ivf": COSINE_SQL,  # nprobe == n_lists -> exact ranking
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

@@ -110,7 +110,9 @@ def sessionize_stream(
         closed = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            # normalize to ns first: Arrow may hand pandas a us-resolution
+            # datetime64, whose raw int64 view would be off by 1000x
+            ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
             for t, v in zip(ts_us.to_numpy(), pdf["value"].to_numpy()):
                 t = int(t)
                 if n and t - last_us > gap_us:

@@ -135,3 +135,50 @@ def test_cosine_pairs_lsh_recall(spark):
     for k in lsh:
         assert lsh[k] == exact[k]
     assert set(planted) <= set(lsh)        # planted near-dups all recalled
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF: nprobe == n_lists is EXACTLY brute force; on clustered data
+    nprobe=1 finds the in-cluster neighbors; builds are deterministic;
+    the probe scan partition-prunes on list_id."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from codebased_spark.operators.ivf import build_ivf_index, ivf_topk
+    from codebased_spark.operators.simsearch import cosine_topk
+
+    rng = np.random.RandomState(21)
+    centers = rng.standard_normal((5, 24)) * 10.0
+    vecs = []
+    for i in range(150):
+        vecs.append(centers[i % 5] + rng.standard_normal(24))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    c1 = build_ivf_index(emb, idx, n_lists=5, iters=3)
+    c2 = build_ivf_index(emb, str(tmp_path / "ivf2"), n_lists=5, iters=3)
+    assert (c1 == c2).all()  # deterministic fit
+
+    probe = 7
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, probe, 10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(spark, idx, probe, 10, nprobe=5).collect()]
+    assert full == exact  # nprobe = n_lists degrades to exact search
+
+    one = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk(spark, idx, probe, 10, nprobe=1).collect()]
+    # well-separated clusters: the probe's own list holds the true top-k
+    assert one == exact
+
+    plan_df = ivf_topk(spark, idx, probe, 10, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:160]
+    assert "list_id" in seg  # the nprobe filter prunes list partitions
