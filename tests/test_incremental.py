@@ -214,3 +214,43 @@ def test_fresh_block_offset_survives_postingless_blocks(spark, tmp_path):
     assert new_block >= 2  # strictly above every STORED block, not file-derived
     hits = index.search_with_metadata("added token", 5).collect()
     assert len(hits) == 1 and hits[0]["path"] == "added.go"
+
+
+@pytest.mark.parametrize("query,top_k", [('"value"', 5), ('"val"', 5)])
+def test_pruning_respects_tombstones_at_scale(spark, tmp_path, query, top_k):
+    """The round-2 pruning layers (emission top-k, single-trigram WAND)
+    must compose with tombstones: WAND is bypassed for blocks carrying
+    deletes, emission pruning runs AFTER the deleted filter, and df/idf
+    reflect live docs only. 600 docs, 150 tombstoned, scores compared
+    against a brute-force run over the live corpus by natural key."""
+    from codebased_spark.operators.docs import build_docs, corpus_stats
+    from codebased_spark.operators.score import search_bruteforce
+    from codebased_spark.plans.engine import build_index
+
+    rows = []
+    for i in range(600):
+        reps = 1 + (i % 7)
+        pad = "x" * ((i * 13) % 97)
+        rows.append(("r1", f"f{i:05d}.txt", "c" * 40, "text",
+                     ("value " * reps) + pad))
+    v1 = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    live_rows = [r for i, r in enumerate(rows) if i % 4 != 0]  # drop 150
+    v2 = spark.createDataFrame(live_rows, CORPUS_SCHEMA)
+
+    idx_dir = str(tmp_path / "prune_tomb")
+    build_index(spark, v1, idx_dir, num_blocks=2)
+    index = incremental_update(spark, idx_dir, v2, full_snapshot=True)
+    assert index.has_deletes and index.n_docs == len(live_rows)
+
+    got = sorted(
+        (r["path"], bool(r["name_match"]), round(float(r["score"]), 9))
+        for r in index.search_with_metadata(query, top_k).collect()
+    )
+    docs = build_docs(v2, num_blocks=2)
+    n, avgdl = corpus_stats(docs)
+    hits = search_bruteforce(docs, query, top_k, n, avgdl)
+    want = sorted(
+        (r["path"], bool(r["name_match"]), round(float(r["score"]), 9))
+        for r in docs.select("doc_id", "path").join(hits, "doc_id").collect()
+    )
+    assert got == want and len(got) == top_k
