@@ -443,6 +443,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_indexed(spark, sig_dir, probe_vec_id=0, k=10)
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.windowed_event_counts (the
+    watermark variant's late-drop semantics are pinned by
+    tests/test_sessionize.py::test_watermark_drops_late_events)."""
+    from codebased_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, "1 hour", watermark=None)
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via the IVF coarse-quantizer index (build + probe through
     the persisted structure). nprobe == n_lists makes the result
@@ -773,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize,
         "curate_corpus": q_curate,
         "ann_topk_ivf": q_ann_ivf,
+        "windowed_event_counts": q_windowed_counts,
     }
 
 
@@ -802,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_SQL,
         "curate_corpus": CURATE_SQL,
         "ann_topk_ivf": COSINE_SQL,  # nprobe == n_lists -> exact ranking
+        "windowed_event_counts": WINDOWED_COUNTS_SQL,
         # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
         # omitted: they depend on engine-specific bucket hashing
         # (rows-only check; exactness covered by unit tests).

@@ -468,13 +468,23 @@ def _scan_java(L: _Lines):
     return out
 
 
-_RUST_STRUCT = re.compile(r"^(\s*)(?:pub\s+)?struct\s+([A-Za-z_]\w*)")
-_RUST_TRAIT = re.compile(r"^(\s*)(?:pub\s+)?trait\s+([A-Za-z_]\w*)")
+_RUST_STRUCT = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?struct\s+([A-Za-z_]\w*)")
+_RUST_TRAIT = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?trait\s+([A-Za-z_]\w*)")
 _RUST_IMPL = re.compile(r"^(\s*)impl(?:<[^>]*>)?\s+([A-Za-z_][\w:<>]*)")
-_RUST_FN = re.compile(r"^(\s*)(?:pub\s+)?(?:async\s+)?fn\s+([A-Za-z_]\w*)")
+_RUST_FN = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?fn\s+([A-Za-z_]\w*)")
+_RUST_ENUM = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?enum\s+([A-Za-z_]\w*)")
+_RUST_UNION = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?union\s+([A-Za-z_]\w*)")
+_RUST_TYPE = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?type\s+([A-Za-z_]\w*)")
+_RUST_MOD = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?mod\s+([A-Za-z_]\w*)")
+_RUST_MACRO = re.compile(r"^(\s*)macro_rules!\s+([A-Za-z_]\w*)")
 
 
 def _scan_rust(L: _Lines):
+    """Coverage mirrors the reference rust tag query
+    (codebased/parser.py:410-460): struct/enum/union/type alias,
+    fn, trait, mod, macro_rules!, and the two impl flavors
+    (``impl Trait for X`` tags the TRAIT as definition.trait.impl;
+    a bare ``impl X`` tags the type as definition.struct.impl)."""
     out = []
     scopes: list[tuple[int, _Scope]] = []
     for r, line in enumerate(L.lines):
@@ -482,19 +492,57 @@ def _scan_rust(L: _Lines):
         while scopes and r > scopes[-1][1].end_row:
             scopes.pop()
         for rx, kind in ((_RUST_STRUCT, "definition.struct"),
+                         (_RUST_ENUM, "definition.class"),
+                         (_RUST_UNION, "definition.class"),
+                         (_RUST_TYPE, "definition.class"),
                          (_RUST_TRAIT, "definition.interface"),
+                         (_RUST_MOD, "definition.module"),
+                         (_RUST_MACRO, "definition.macro"),
                          (_RUST_IMPL, "definition.struct.impl"),
                          (_RUST_FN, "definition.function")):
             m = rx.match(line)
-            if m:
-                end = _brace_block_end(L, r) if ("{" in line or kind != "definition.struct") else _stmt_end(L, r)
-                before, after = _context([s for _, s in scopes], r, end)
-                out.append(Obj(m.group(2), kind, r, ind, end, len(L.lines[end]),
-                               L.byte_at(r, ind), L.line_end_byte(end),
-                               before, after))
-                if kind in ("definition.struct.impl", "definition.interface"):
-                    scopes.append((ind, _Scope(r, end)))
-                break
+            if m is None:
+                continue
+            name = m.group(2)
+            if rx is _RUST_FN:
+                # a bodyless `fn ...;` (trait/extern signature) is a
+                # function_signature_item — the reference query tags
+                # only (function_item), i.e. fns WITH a body
+                j = r
+                sig_only = False
+                while j < len(L.lines):
+                    seg = L.lines[j]
+                    bi, si = seg.find("{"), seg.find(";")
+                    if j == r:
+                        after_m = seg[m.end(2):]
+                        bi, si = after_m.find("{"), after_m.find(";")
+                    if bi != -1 and (si == -1 or bi < si):
+                        break
+                    if si != -1:
+                        sig_only = True
+                        break
+                    j += 1
+                if sig_only:
+                    break
+            if kind == "definition.struct.impl" and " for " in line:
+                kind = "definition.trait.impl"  # the trait is the name
+            stmt_like = (
+                kind == "definition.class" and rx is _RUST_TYPE
+            ) or (kind == "definition.module" and "{" not in line)
+            if stmt_like:
+                end = _stmt_end(L, r)
+            elif "{" in line or kind not in ("definition.struct",):
+                end = _brace_block_end(L, r)
+            else:
+                end = _stmt_end(L, r)  # tuple/unit structs end with ';'
+            before, after = _context([s for _, s in scopes], r, end)
+            out.append(Obj(name, kind, r, ind, end, len(L.lines[end]),
+                           L.byte_at(r, ind), L.line_end_byte(end),
+                           before, after))
+            if kind in ("definition.struct.impl", "definition.trait.impl",
+                        "definition.interface", "definition.module") and "{" in line:
+                scopes.append((ind, _Scope(r, end)))
+            break
     return out
 
 

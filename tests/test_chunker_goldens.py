@@ -459,3 +459,78 @@ def test_typescript_methods_interfaces_namespaces():
     onready = by[("onReady", "definition.function")]
     setup_fn = by[("setup", "definition.function")]
     assert onready.context_before == [setup_fn.start_row]
+
+
+def test_rust_full_tag_query_coverage():
+    """Reference rust tag query beyond the shapes golden
+    (codebased/parser.py:410-460): enums, unions, type aliases,
+    modules, macro_rules!, and the trait-impl/struct-impl split."""
+    src = textwrap.dedent(
+        """
+        pub struct Point {
+            x: f64,
+        }
+
+        pub enum Shape {
+            Circle(f64),
+            Rect(f64, f64),
+        }
+
+        union Bits {
+            i: i32,
+            f: f32,
+        }
+
+        pub type Meters = f64;
+
+        pub trait Area {
+            fn area(&self) -> f64;
+        }
+
+        impl Area for Point {
+            fn area(&self) -> f64 {
+                0.0
+            }
+        }
+
+        impl Point {
+            pub fn new() -> Point {
+                Point { x: 0.0 }
+            }
+        }
+
+        mod geometry {
+            pub fn unit() -> f64 {
+                1.0
+            }
+        }
+
+        macro_rules! square {
+            ($x:expr) => { $x * $x };
+        }
+        """
+    )
+    objs = chunk_text("src/lib.rs", "rust", src)
+    assert _nk(objs) == [
+        ("src/lib.rs", "file"),
+        ("Point", "definition.struct"),
+        ("Shape", "definition.class"),        # enum_item
+        ("Bits", "definition.class"),         # union_item
+        ("Meters", "definition.class"),       # type_item
+        ("Area", "definition.interface"),
+        # NB the bodyless trait signature `fn area(&self) -> f64;` is a
+        # function_signature_item — the reference tags only function_item
+        ("Area", "definition.trait.impl"),    # impl Trait for X -> trait name
+        ("area", "definition.function"),
+        ("Point", "definition.struct.impl"),  # bare impl X
+        ("new", "definition.function"),
+        ("geometry", "definition.module"),
+        ("unit", "definition.function"),
+        ("square", "definition.macro"),
+    ]
+    by = [(o.name, o.kind, o.context_before) for o in objs]
+    mod_line = next(o.start_row for o in objs if o.kind == "definition.module")
+    unit = next(o for o in objs if o.name == "unit")
+    assert unit.context_before == [mod_line]
+    alias = next(o for o in objs if o.name == "Meters")
+    assert src.encode()[alias.byte_start:alias.byte_end].rstrip().endswith(b";")

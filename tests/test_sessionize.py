@@ -182,3 +182,61 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:160]
     assert "list_id" in seg  # the nprobe filter prunes list partitions
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Structured Streaming watermark semantics: append-mode windows
+    emit once the watermark passes their end, and an event arriving
+    beyond the lateness allowance for a closed window is dropped —
+    while the same frame aggregated in batch mode counts it."""
+    import datetime as dt2
+
+    from codebased_spark.streaming.windows import windowed_event_counts
+
+    def ev(eid, hour, minute, value=1.0):
+        return (eid, dt2.datetime(2024, 1, 1, hour, minute), 1, "click", value, "{}")
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    batch1 = [ev(0, 0, 10), ev(1, 0, 40), ev(2, 1, 10), ev(3, 3, 50)]
+    # late arrival for window [0:00,1:00) — watermark after batch1 is
+    # 3:50 - 2h = 1:50 > 1:00, so that window is closed: DROPPED
+    batch2 = [ev(4, 0, 20, 7.0), ev(5, 5, 0)]
+
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    q = (
+        windowed_event_counts(stream, "1 hour", "2 hours")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, EVENTS_SCHEMA).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        str(r["window_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 0:00 window was emitted with batch1's two events only; the
+    # late ev(4) never appears anywhere in the stream output
+    assert streamed["2024-01-01 00:00:00"] == (2, 2.0)
+    total_streamed = sum(n for n, _ in streamed.values())
+    assert total_streamed <= 4  # ev(4) dropped; open tail windows unemitted
+
+    # batch mode over the full frame COUNTS the late event (watermark
+    # is stream-only semantics)
+    full = spark.createDataFrame(batch1 + batch2, EVENTS_SCHEMA)
+    batch = {
+        str(r["window_start"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(full, "1 hour", None).collect()
+    }
+    assert batch["2024-01-01 00:00:00"] == (3, 9.0)
