@@ -582,6 +582,7 @@ _PP_END = re.compile(r"^\s*#\s*endif\b")
 _C_TYPEDEF = re.compile(r"^typedef\b")
 _C_STRUCT = re.compile(r"^(\s*)(struct|class)\s+([A-Za-z_]\w*)")
 _C_ENUM = re.compile(r"^(\s*)enum\s+(?:class\s+)?([A-Za-z_]\w*)")
+_C_UNION = re.compile(r"^(\s*)union\s+([A-Za-z_]\w*)")
 _C_FUNC = re.compile(
     r"^(\s*)(?:[A-Za-z_][\w:<>~\*\&\s]*?[\s\*\&])?((?:[A-Za-z_]\w*::)?[A-Za-z_~]\w*)\s*\([^;]*\)\s*(?:const\s*)?\{?\s*$"
 )
@@ -680,6 +681,18 @@ def _scan_c(L: _Lines):
             end = _brace_block_end(L, r)
             before, after = _context(ctx_scopes(r), r, end)
             out.append(Obj(m.group(2), "definition.type", r, ind, end,
+                           len(L.lines[end]), L.byte_at(r, ind),
+                           L.line_end_byte(end), before, after))
+            r = end + 1
+            continue
+
+        m = _C_UNION.match(line)
+        if m and _c_body_kind(L, r) is not None:
+            # (declaration type: (union_specifier name)) @definition.class
+            # — the node is the whole declaration, trailing ';' included
+            end = _stmt_end(L, r)
+            before, after = _context(ctx_scopes(r), r, end)
+            out.append(Obj(m.group(2), "definition.class", r, ind, end,
                            len(L.lines[end]), L.byte_at(r, ind),
                            L.line_end_byte(end), before, after))
             r = end + 1

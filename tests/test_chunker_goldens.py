@@ -534,3 +534,28 @@ def test_rust_full_tag_query_coverage():
     assert unit.context_before == [mod_line]
     alias = next(o for o in objs if o.name == "Meters")
     assert src.encode()[alias.byte_start:alias.byte_end].rstrip().endswith(b";")
+
+
+def test_c_union_declaration():
+    """C_TAG_QUERY: (declaration type: (union_specifier name)) ->
+    definition.class; the node spans the whole declaration."""
+    src = textwrap.dedent(
+        """
+        union Bits {
+            int i;
+            float f;
+        } value;
+
+        int main(void) {
+            return 0;
+        }
+        """
+    )
+    objs = chunk_text("src/u.c", "c", src)
+    assert _nk(objs) == [
+        ("src/u.c", "file"),
+        ("Bits", "definition.class"),
+        ("main", "definition.function"),
+    ]
+    u = objs[1]
+    assert src.encode()[u.byte_start:u.byte_end].rstrip().endswith(b"} value;")
