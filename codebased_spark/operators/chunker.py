@@ -547,7 +547,8 @@ def _scan_rust(L: _Lines):
 
 
 _RB_DEF = re.compile(r"^(\s*)def\s+(?:self\.)?([A-Za-z_]\w*[?!=]?)")
-_RB_CLASS = re.compile(r"^(\s*)(class|module)\s+([A-Z]\w*)")
+_RB_CLASS = re.compile(r"^(\s*)(class|module)\s+([A-Z]\w*(?:::[A-Z]\w*)*)")
+_RB_ALIAS = re.compile(r"^(\s*)alias\s+:?([A-Za-z_]\w*[?!=]?)")
 
 
 def _scan_ruby(L: _Lines):
@@ -562,7 +563,8 @@ def _scan_ruby(L: _Lines):
             end = _ruby_block_end(L, r)
             kind = "definition.class" if m.group(2) == "class" else "definition.module"
             before, after = _context([s for _, s in scopes], r, end)
-            out.append(Obj(m.group(3), kind, r, ind, end, len(L.lines[end]),
+            name = m.group(3).rsplit("::", 1)[-1]  # (scope_resolution name: _)
+            out.append(Obj(name, kind, r, ind, end, len(L.lines[end]),
                            L.byte_at(r, ind), L.line_end_byte(end), before, after))
             scopes.append((ind, _Scope(r, end)))
             continue
@@ -573,6 +575,15 @@ def _scan_ruby(L: _Lines):
             out.append(Obj(m.group(2), "definition.method", r, ind, end,
                            len(L.lines[end]), L.byte_at(r, ind),
                            L.line_end_byte(end), before, after))
+            continue
+        m = _RB_ALIAS.match(line)
+        if m:
+            # (alias name: (_) @name) @definition.method — the new name,
+            # node = the one-line alias statement
+            before, after = _context([s for _, s in scopes], r, r)
+            out.append(Obj(m.group(2), "definition.method", r, ind, r,
+                           len(line), L.byte_at(r, ind),
+                           L.line_end_byte(r), before, after))
     return out
 
 
@@ -733,6 +744,7 @@ def _scan_c(L: _Lines):
 
 
 _PHP_CLASS = re.compile(r"^(\s*)(?:abstract\s+|final\s+)?(class|interface|trait)\s+([A-Za-z_]\w*)")
+_PHP_NS = re.compile(r"^(\s*)namespace\s+([A-Za-z_][\w\\\\]*)")
 _PHP_FUNC = re.compile(r"^(\s*)(?:(?:public|private|protected|static)\s+)*function\s+([A-Za-z_]\w*)")
 _PHP_FIELD = re.compile(
     r"^(\s*)(?:(?:public|private|protected|static|var|readonly)\s+)+"
@@ -747,6 +759,16 @@ def _scan_php(L: _Lines):
         ind = _indent_of(line)
         while scopes and r > scopes[-1][1].end_row:
             scopes.pop()
+        m = _PHP_NS.match(line)
+        if m:
+            # (namespace_definition name: (namespace_name)) @definition.module
+            end = _brace_block_end(L, r) if "{" in line else _stmt_end(L, r)
+            out.append(Obj(m.group(2), "definition.module", r, ind, end,
+                           len(L.lines[end]), L.byte_at(r, ind),
+                           L.line_end_byte(end), [], []))
+            if "{" in line:
+                scopes.append((ind, _Scope(r, end)))
+            continue
         m = _PHP_CLASS.match(line)
         if m:
             end = _brace_block_end(L, r)
@@ -756,6 +778,23 @@ def _scan_php(L: _Lines):
             col = line.find(m.group(2))
             out.append(Obj(m.group(3), kind, r, col, end, len(L.lines[end]),
                            L.byte_at(r, col), L.line_end_byte(end), before, after))
+            if "implements" in line:
+                # (class_interface_clause [(name)(qualified_name)] @name)
+                # @definition.class_interface_clause — one object per
+                # implemented name, node = the clause
+                clause_col = line.find("implements")
+                tail = line[clause_col + len("implements"):]
+                cut = tail.find("{")
+                names_part = tail[:cut] if cut != -1 else tail
+                clause_end_col = clause_col + len("implements") + len(names_part.rstrip())
+                for nm in names_part.split(","):
+                    nm = nm.strip()
+                    if nm:
+                        out.append(Obj(
+                            nm, "definition.class_interface_clause", r,
+                            clause_col, r, clause_end_col,
+                            L.byte_at(r, clause_col),
+                            L.byte_at(r, clause_end_col), before, []))
             scopes.append((ind, _Scope(r, end)))
             continue
         m = _PHP_FUNC.match(line)

@@ -559,3 +559,66 @@ def test_c_union_declaration():
     ]
     u = objs[1]
     assert src.encode()[u.byte_start:u.byte_end].rstrip().endswith(b"} value;")
+
+
+def test_ruby_alias_and_scoped_names():
+    """Ruby tag query completeness: (alias name) -> definition.method,
+    scope_resolution class names tag the LAST constant."""
+    src = textwrap.dedent(
+        """
+        module Geometry
+            class Shapes::Circle
+                def area
+                    0
+                end
+                alias size area
+            end
+        end
+        """
+    )
+    objs = chunk_text("src/geo.rb", "ruby", src)
+    assert _nk(objs) == [
+        ("src/geo.rb", "file"),
+        ("Geometry", "definition.module"),
+        ("Circle", "definition.class"),
+        ("area", "definition.method"),
+        ("size", "definition.method"),   # alias
+    ]
+    alias_o = objs[4]
+    assert src.encode()[alias_o.byte_start:alias_o.byte_end].strip() == b"alias size area"
+
+
+def test_php_namespace_and_interface_clause():
+    """PHP tag query completeness: namespace_definition -> module,
+    class_interface_clause -> one object per implemented name."""
+    src = textwrap.dedent(
+        """
+        <?php
+        namespace App\\Models;
+
+        interface Shape {
+            public function area();
+        }
+
+        class Circle implements Shape, \\Countable {
+            public $radius = 1.0;
+            public function area() {
+                return 3.14;
+            }
+        }
+        """
+    )
+    objs = chunk_text("src/circle.php", "php", src)
+    assert _nk(objs) == [
+        ("src/circle.php", "file"),
+        ("App\\Models", "definition.module"),
+        ("Shape", "definition.interface"),
+        ("area", "definition.method"),
+        ("Circle", "definition.class"),
+        ("Shape", "definition.class_interface_clause"),
+        ("\\Countable", "definition.class_interface_clause"),
+        ("radius", "definition.field"),
+        ("area", "definition.method"),
+    ]
+    clause = objs[5]
+    assert src.encode()[clause.byte_start:clause.byte_end] == b"implements Shape, \\Countable"
