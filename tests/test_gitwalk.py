@@ -163,3 +163,65 @@ def test_repo_corpus_to_index_end_to_end(spark, tmp_path):
 
     with pytest.raises(ValueError):
         repo_corpus(spark, str(tmp_path))  # not a git repo
+
+
+def test_matcher_agrees_with_git_randomized(tmp_path):
+    """Seeded property test: random pattern files + random path trees,
+    every decision compared against `git check-ignore` (the same ground
+    truth for every gitignore construct class we emit)."""
+    import random
+
+    rng = random.Random(1234)
+    frags = ["src", "lib", "a", "bb", "data", "gen", "x1"]
+    exts = [".log", ".txt", ".pyc", ".md", ""]
+
+    def rand_pattern():
+        kind = rng.randrange(8)
+        base = rng.choice(frags)
+        ext = rng.choice(exts)
+        if kind == 0:
+            return f"*{ext or '.tmp'}"
+        if kind == 1:
+            return f"{base}/"
+        if kind == 2:
+            return f"/{base}{ext}"
+        if kind == 3:
+            return f"**/{base}"
+        if kind == 4:
+            return f"{base}/**"
+        if kind == 5:
+            return f"{base}/*{ext}"
+        if kind == 6:
+            return f"?{base[1:] or 'x'}{ext}"
+        return f"*.py[co]"
+
+    def rand_path():
+        depth = rng.randrange(1, 4)
+        parts = [rng.choice(frags) for _ in range(depth - 1)]
+        leaf = rng.choice(frags) + rng.choice(exts)
+        return "/".join(parts + [leaf])
+
+    for trial in range(6):
+        root = str(tmp_path / f"r{trial}")
+        os.makedirs(root)
+        _git(root, "init", "-q")
+        pats = [rand_pattern() for _ in range(rng.randrange(2, 6))]
+        # sprinkle a negation referring to an earlier pattern's shape
+        if rng.random() < 0.7:
+            pats.append("!" + rng.choice(frags) + rng.choice(exts))
+        with open(os.path.join(root, ".gitignore"), "w") as f:
+            f.write("\n".join(pats) + "\n")
+
+        stack = IgnoreStack()
+        with open(os.path.join(root, ".gitignore")) as f:
+            stack.push("", parse_gitignore_lines(f))
+
+        paths = sorted({rand_path() for _ in range(25)})
+        for p in paths:
+            git_says = _git(root, "check-ignore", "-q", p).returncode == 0
+            parts = p.split("/")
+            ours = any(
+                stack.ignored("/".join(parts[: i + 1]), is_dir=(i < len(parts) - 1))
+                for i in range(len(parts))
+            )
+            assert ours == git_says, (trial, pats, p, ours, git_says)
