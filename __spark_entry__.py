@@ -380,10 +380,126 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_documents(spark, sf_dir))
 
 
+def _simhash_sql() -> str:
+    """DuckDB replica of operators/dedup.simhash64: same universal hash
+    (a0, b0 mod 2^61-1) over DISTINCT trigram codes, bit k set iff
+    2 * popcount_k > n_trigrams. The 61-bit reassembly sum is HUGEINT in
+    DuckDB -> CAST to BIGINT (the sessionize lesson)."""
+    from codebased_spark.operators.dedup import MINHASH_PRIME, _A, _B
+
+    a, b = _A[0], _B[0]
+    return f"""
+WITH {_TRI_NUMBERS},
+tri AS (
+  SELECT DISTINCT d.doc_id,
+         ascii(substr(lower(coalesce(d.text, '')), n.i, 1)) * 4398046511104
+       + ascii(substr(lower(coalesce(d.text, '')), n.i + 1, 1)) * 2097152
+       + ascii(substr(lower(coalesce(d.text, '')), n.i + 2, 1)) AS code
+  FROM documents d JOIN nums n ON n.i <= length(coalesce(d.text, '')) - 2
+),
+h AS (SELECT doc_id, ({a} * code + {b}) % {MINHASH_PRIME} AS h FROM tri),
+n_tri AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+bits AS (
+  SELECT h.doc_id, k.k,
+         count(*) FILTER (WHERE (h.h >> k.k) & 1 = 1) AS ones
+  FROM h CROSS JOIN (SELECT unnest(range(0, 61)) AS k) k
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN 2 * b.ones > t.n THEN (1::BIGINT << b.k)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits b JOIN n_tri t USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(_documents(spark, sf_dir))
+
+
+def _lsh_pairs_sql(n_hashes: int = 16, band_size: int = 4, max_bucket: int = 64) -> str:
+    """DuckDB replica of operators/dedup.lsh_candidate_pairs: identical
+    MinHash signatures, identical md5-of-'|'-joined band buckets
+    (portable by construction — see dedup._lsh_bands), same bucket cap
+    applied before the self-join."""
+    from codebased_spark.operators.dedup import MINHASH_PRIME, _A, _B
+
+    mins = ", ".join(
+        f"min(({_A[i]} * t.code + {_B[i]}) % {MINHASH_PRIME}) AS sig{i}"
+        for i in range(n_hashes)
+    )
+    n_bands = n_hashes // band_size
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"sig{b * band_size + j}" for j in range(band_size))
+        + ")) AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_TRI_NUMBERS},
+tri AS (
+  SELECT d.doc_id,
+         ascii(substr(lower(coalesce(d.text, '')), n.i, 1)) * 4398046511104
+       + ascii(substr(lower(coalesce(d.text, '')), n.i + 1, 1)) * 2097152
+       + ascii(substr(lower(coalesce(d.text, '')), n.i + 2, 1)) AS code
+  FROM documents d JOIN nums n ON n.i <= length(coalesce(d.text, '')) - 2
+),
+sigs AS (SELECT t.doc_id, {mins} FROM tri t GROUP BY t.doc_id),
+bands AS (
+  {band_selects}
+),
+sizes AS (SELECT band, bucket, count(*) AS size FROM bands GROUP BY 1, 2),
+capped AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bands b JOIN sizes s USING (band, bucket) WHERE s.size <= {max_bucket}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM capped l JOIN capped r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 16, probe: int = 0,
+                 k: int = 10, max_hamming: int = 3) -> str:
+    """DuckDB replica of simsearch.ann_topk_indexed over hyperplane
+    signatures. The plane weights are dyadic rationals from the same
+    pure function (_plane_weight), embedded as exact literals; each
+    plane's dot product is spelled as the same left-associated
+    float->double product chain Spark's fold evaluates, so the SIGN of
+    every projection is bit-identical across engines. The exact cosine
+    re-rank rounds to 6 like the Spark side (same as COSINE_SQL)."""
+    from codebased_spark.operators.simsearch import _plane_weight
+
+    planes = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"embedding[{j + 1}]::DOUBLE * ({_plane_weight(p, j)!r})"
+            for j in range(dim)
+        )
+        planes.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    sig = "\n       + ".join(planes)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         CAST({sig} AS BIGINT) AS lsh_sig
+  FROM embeddings
+),
+probe_sig AS (SELECT lsh_sig AS psig FROM sigs WHERE vec_id = {probe}),
+probe_vec AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = {probe})
+SELECT s.vec_id,
+       round(list_dot_product(s.embedding::DOUBLE[], p.pv)
+             / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cosine
+FROM sigs s, probe_sig ps, probe_vec p
+WHERE bit_count(xor(s.lsh_sig, ps.psig)) <= {max_hamming}
+  AND s.vec_id <> {probe}
+ORDER BY cosine DESC, s.vec_id LIMIT {k}
+"""
 
 
 def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,9 +647,12 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
-  SELECT *, sum(new_session) OVER (
+  -- CAST: DuckDB's sum(int) is HUGEINT, which .df() converts to
+  -- float64 — hash-mismatching Spark's bigint even when values agree.
+  SELECT *, CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq,
@@ -562,7 +681,10 @@ WITH flagged AS (
                 - length(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')))::DOUBLE
                / greatest(length(lower(coalesce(text, ''))), 1), 6) AS punct_ratio,
          min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS exact_canon,
-         min(doc_id) OVER (PARTITION BY md5(array_to_string(
+         -- canon only among length-gate passers (matches curate.py):
+         -- a gated-out canon must not drop its whole prefix group
+         min(CASE WHEN length(lower(coalesce(text, ''))) BETWEEN 20 AND 100000
+                  THEN doc_id END) OVER (PARTITION BY md5(array_to_string(
              list_slice(string_split_regex(lower(coalesce(text, '')), ' +'), 1, 5), ' '))) AS prefix_canon
   FROM documents
 )
@@ -780,9 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality,
         "lang_marker_scores": q_lang_scores,
-        "simhash64": q_simhash,          # rows-only (Spark-hash buckets)
-        "lsh_candidate_pairs": q_lsh_pairs,  # rows-only
-        "ann_topk_lsh": q_ann_lsh,       # rows-only
+        "simhash64": q_simhash,
+        "lsh_candidate_pairs": q_lsh_pairs,
+        "ann_topk_lsh": q_ann_lsh,
         "media_features_cosine": q_media_features,  # rows-only (synthetic media)
         "video_frame_sample": q_video_frame_sample,  # rows-only
         "change_detection": q_change_detection,
@@ -825,7 +947,12 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": CURATE_SQL,
         "ann_topk_ivf": COSINE_SQL,  # nprobe == n_lists -> exact ranking
         "windowed_event_counts": WINDOWED_COUNTS_SQL,
-        # simhash64 / lsh_candidate_pairs / ann_topk_lsh intentionally
-        # omitted: they depend on engine-specific bucket hashing
-        # (rows-only check; exactness covered by unit tests).
+        # r3: the three formerly rows-only hash-dependent entries now
+        # have full oracles — the engine's band buckets / simhash /
+        # hyperplane signatures are portable arithmetic by construction.
+        "simhash64": _simhash_sql(),
+        "lsh_candidate_pairs": _lsh_pairs_sql(),
+        "ann_topk_lsh": _ann_lsh_sql(),
+        # media_features_cosine / video_frame_sample stay rows-only: the
+        # media table is engine-synthesized (no DuckDB view exists).
     }

@@ -65,8 +65,16 @@ def curate_corpus(
     )
     w_d = Window.partitionBy("digest")
     w_p = Window.partitionBy("prefix_key")
+    # prefix_canon only counts docs that survive the (earlier-priority)
+    # length gates: otherwise a too_short/too_long canon would drop every
+    # other group member as near_duplicate_prefix while itself dying,
+    # losing the whole group (ADVICE r02). Exact-dup groups don't need
+    # this: identical text fails the gates together. Any doc reaching
+    # the prefix check passed its own length gates, so its group has a
+    # passer and prefix_canon is non-null there.
+    length_ok = (F.col("n_chars") >= min_chars) & (F.col("n_chars") <= max_chars)
     flagged = flagged.withColumn("exact_canon", F.min("doc_id").over(w_d)).withColumn(
-        "prefix_canon", F.min("doc_id").over(w_p)
+        "prefix_canon", F.min(F.when(length_ok, F.col("doc_id"))).over(w_p)
     )
 
     reason = (

@@ -122,7 +122,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
 
 
 def _lsh_bands(docs: DataFrame, text_col: str, n_hashes: int, band_size: int) -> DataFrame:
-    """(doc_id, band, bucket) rows — one per doc per band."""
+    """(doc_id, band, bucket) rows — one per doc per band.
+
+    The bucket is md5 over the band's signature values rendered as
+    decimal strings ('|'-separated) — engine-portable (any SQL engine
+    can compute the identical bucket, which is what puts
+    lsh_candidate_pairs under a DuckDB oracle) and collision-free in
+    practice, unlike Spark's Murmur3 ``F.hash`` which only Spark can
+    reproduce. 16 bytes/row of extra shuffle width vs an int bucket is
+    noise next to the signature shuffle itself."""
     sigs = minhash_signatures(docs, text_col, n_hashes)
     n_bands = n_hashes // band_size
     return sigs.select(
@@ -132,9 +140,10 @@ def _lsh_bands(docs: DataFrame, text_col: str, n_hashes: int, band_size: int) ->
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.col(f"sig{b * band_size + j}") for j in range(band_size)]
-                        ).alias("bucket"),
+                        F.md5(F.concat_ws("|", *[
+                            F.col(f"sig{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ])).alias("bucket"),
                     )
                     for b in range(n_bands)
                 ]

@@ -31,6 +31,56 @@ from pyspark.sql import functions as F
 FEATURE_DIM = 64
 _PROJ_SEED = 987654321
 
+# The reference's embedding-request scheduler contract
+# (codebased/index.py:85-147, OpenAIRequestScheduler): batches flush
+# BEFORE appending once they hold 2048 items or would exceed 400k
+# tokens; any single document over 8192 tokens is skipped outright
+# (counted, never embedded); requests run one at a time.
+EMBED_BATCH_SIZE_LIMIT = 2048
+EMBED_BATCH_TOKEN_LIMIT = 400_000
+EMBED_MAX_DOC_TOKENS = 8192
+
+
+def embed_token_count(text: str) -> int:
+    """Deterministic token count standing in for the reference's
+    tiktoken encoding (tiktoken is a network-fetched vocabulary, out of
+    sandbox scope): words + standalone punctuation, the usual BPE upper
+    bound shape. Only the batching arithmetic depends on it."""
+    import re
+
+    return len(re.findall(r"\w+|[^\w\s]", text or ""))
+
+
+def plan_embed_batches(token_counts) -> tuple[list[list[int]], list[int]]:
+    """Split request indices into embed batches under the reference
+    scheduler's exact rules (codebased/index.py:108-121):
+
+    - an item with more than EMBED_MAX_DOC_TOKENS tokens is skipped;
+    - before appending, the running batch is flushed if it already has
+      EMBED_BATCH_SIZE_LIMIT items OR adding the item would push it
+      past EMBED_BATCH_TOKEN_LIMIT tokens (so no batch ever exceeds
+      either bound).
+
+    Returns (batches, skipped) — lists of indices into the input."""
+    batches: list[list[int]] = []
+    skipped: list[int] = []
+    cur: list[int] = []
+    cur_tokens = 0
+    for i, t in enumerate(token_counts):
+        t = int(t)
+        if t > EMBED_MAX_DOC_TOKENS:
+            skipped.append(i)
+            continue
+        if len(cur) >= EMBED_BATCH_SIZE_LIMIT or cur_tokens + t > EMBED_BATCH_TOKEN_LIMIT:
+            batches.append(cur)
+            cur = []
+            cur_tokens = 0
+        cur.append(i)
+        cur_tokens += t
+    if cur:
+        batches.append(cur)
+    return batches, skipped
+
 
 def _projection(dim: int) -> np.ndarray:
     rng = np.random.RandomState(_PROJ_SEED)
@@ -78,6 +128,7 @@ def doc_features_cached(
     cache_dir: str,
     dim: int = FEATURE_DIM,
     counter=None,
+    skip_counter=None,
 ) -> DataFrame:
     """(doc_id, embedding) with a persistent sha256-keyed cache — the
     reference's embedding cache (codebased/index.py:609-626: content
@@ -92,16 +143,29 @@ def doc_features_cached(
 
     ``counter`` (an optional Spark accumulator) counts texts actually
     embedded — the test hook proving unchanged docs cost nothing.
+    ``skip_counter`` counts documents skipped for exceeding
+    EMBED_MAX_DOC_TOKENS (they get NO embedding row, mirroring the
+    reference scheduler's too_long skip, codebased/index.py:110-112).
+    The embed stage batches under the reference scheduler's exact
+    rules via :func:`plan_embed_batches`, one request at a time per
+    task (= max_concurrent_requests 1 per partition).
+
+    The cache key is (dim, sha256): each dim gets its own subdirectory,
+    so changing ``dim`` never serves stale vectors of another width
+    (ADVICE r02). Reads dropDuplicates on sha256 — concurrent writers
+    may append the same sha twice; dedup on read keeps the hits join
+    from fanning out.
     """
     from codebased_spark.plans.fsio import IndexFS
 
+    cache_dir = f"{cache_dir.rstrip('/')}/dim={int(dim)}"
     fs = IndexFS(spark, cache_dir)
     keyed = docs.select("doc_id", "sha256", "content")
     cache = None
     if fs.exists(cache_dir) and any(
         p.endswith(".parquet") for p, _ in fs.list_files(cache_dir)
     ):
-        cache = spark.read.parquet(cache_dir)
+        cache = spark.read.parquet(cache_dir).dropDuplicates(["sha256"])
 
     if cache is not None:
         hits = keyed.join(cache, "sha256").select("doc_id", "embedding")
@@ -112,13 +176,24 @@ def doc_features_cached(
 
     def batches(it):
         for pdf in it:
-            if counter is not None:
-                counter.add(len(pdf))
-            vecs = _embed_texts(list(pdf["content"]), dim)
-            yield pd.DataFrame(
-                {"sha256": pdf["sha256"],
-                 "embedding": [v.tolist() for v in vecs]}
+            texts = list(pdf["content"])
+            shas = list(pdf["sha256"])
+            plan, skipped = plan_embed_batches(
+                [embed_token_count(t) for t in texts]
             )
+            if skip_counter is not None and skipped:
+                skip_counter.add(len(skipped))
+            # one request at a time, like the reference scheduler's
+            # single-worker executor — per task, not per cluster: each
+            # partition is an independent client of the embed service
+            for idx in plan:
+                if counter is not None:
+                    counter.add(len(idx))
+                vecs = _embed_texts([texts[i] for i in idx], dim)
+                yield pd.DataFrame(
+                    {"sha256": [shas[i] for i in idx],
+                     "embedding": [v.tolist() for v in vecs]}
+                )
 
     fresh = (
         misses.select("sha256", "content")

@@ -78,7 +78,19 @@ def _manifest_path(index_dir: str, stage: str) -> str:
 
 
 def _stage_done(fs: IndexFS, index_dir: str, stage: str) -> bool:
-    return fs.exists(_manifest_path(index_dir, stage))
+    """A stage counts as done only if its manifest exists AND records the
+    current FORMAT_VERSION: resuming over an older-format partial build
+    must re-run the stage, or the finished index would mix formats (e.g.
+    v1 posting shards without skip metadata under a v2 stamp) and fail
+    at query time (ADVICE r02)."""
+    path = _manifest_path(index_dir, stage)
+    if not fs.exists(path):
+        return False
+    try:
+        rec = _read_manifest(fs, index_dir, stage)
+    except Exception:
+        return False  # unreadable manifest -> treat as not done
+    return int(rec.get("version", 0)) == FORMAT_VERSION
 
 
 def _read_manifest(fs: IndexFS, index_dir: str, stage: str) -> dict:

@@ -223,6 +223,37 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     assert os.path.exists(os.path.join(idx_dir, "_manifest", "corpus_stats.json"))
 
 
+def test_resume_rebuilds_stale_format_stages(spark, tmp_path):
+    """ADVICE r02: a stage manifest recorded by an OLDER engine format
+    is NOT done — resuming over a v1 partial build must re-run the
+    stage, or the finished index would mix formats under a current
+    version stamp."""
+    import json
+
+    idx_dir = str(tmp_path / "resume_v1")
+    corpus = fixture_corpus(spark, ALL_FIXTURES)
+    build_index(spark, corpus, idx_dir, num_blocks=4)
+    # simulate a partial build left by an older engine: postings stage
+    # claims done at version 1, and its shards are gone
+    man = os.path.join(idx_dir, "_manifest", "postings.json")
+    with open(man) as f:
+        rec = json.load(f)
+    rec["version"] = 1
+    with open(man, "w") as f:
+        json.dump(rec, f)
+    import shutil
+
+    shutil.rmtree(os.path.join(idx_dir, "postings"))
+    idx = build_index(spark, corpus, idx_dir, num_blocks=4, resume=True)
+    with open(man) as f:
+        rec2 = json.load(f)
+    from codebased_spark.plans.engine import FORMAT_VERSION
+
+    assert rec2["version"] == FORMAT_VERSION  # stage re-ran
+    assert idx.posting_files  # shards exist again
+    assert idx.postings.count() > 0
+
+
 def test_manifest_lineage(spark, tmp_path):
     import json
 

@@ -115,6 +115,96 @@ def test_semantic_radius_cutoff(spark):
         d for d, _ in sorted(full.items(), key=lambda kv: (kv[1], kv[0]))]
 
 
+def test_plan_embed_batches_reference_contract():
+    """The batch planner enforces the reference scheduler's exact rules
+    (codebased/index.py:108-121): flush-before-append at 2048 items or
+    400k tokens (strict >, so an exact 400k fit stays one batch), skip
+    items over 8192 tokens, preserve order, lose nothing."""
+    from codebased_spark.operators.semantic import (
+        EMBED_BATCH_SIZE_LIMIT,
+        EMBED_BATCH_TOKEN_LIMIT,
+        EMBED_MAX_DOC_TOKENS,
+        plan_embed_batches,
+    )
+
+    # token-limit boundary: 50 x 8000 = 400k exactly fits ONE batch
+    # (flush is strict >); a 51st item flushes first
+    b, s = plan_embed_batches([8000] * 50)
+    assert b == [list(range(50))] and s == []
+    b, s = plan_embed_batches([8000] * 51)
+    assert b == [list(range(50)), [50]] and s == []
+
+    # size-limit boundary: item 2048 opens a new batch
+    b, s = plan_embed_batches([1] * (EMBED_BATCH_SIZE_LIMIT + 1))
+    assert [len(x) for x in b] == [EMBED_BATCH_SIZE_LIMIT, 1] and s == []
+
+    # skip boundary: 8192 embeds, 8193 is skipped (and not batched)
+    b, s = plan_embed_batches([EMBED_MAX_DOC_TOKENS, EMBED_MAX_DOC_TOKENS + 1, 5])
+    assert b == [[0, 2]] and s == [1]
+
+    # synthetic long-doc corpus: invariants hold on a mixed stream
+    tokens = [(i * 2654435761) % 12_000 for i in range(5000)]
+    batches, skipped = plan_embed_batches(tokens)
+    assert skipped == [i for i, t in enumerate(tokens) if t > EMBED_MAX_DOC_TOKENS]
+    flat = [i for batch in batches for i in batch]
+    assert sorted(flat + skipped) == list(range(len(tokens)))
+    assert flat == sorted(flat)  # order-preserving
+    for batch in batches:
+        assert len(batch) <= EMBED_BATCH_SIZE_LIMIT
+        assert sum(tokens[i] for i in batch) <= EMBED_BATCH_TOKEN_LIMIT
+
+
+def test_embed_batcher_skip_accounting(spark, tmp_path):
+    """A doc over the 8192-token limit gets NO embedding row and is
+    counted in skip_counter (reference too_long skip, index.py:110-112);
+    survivors match the plain featurizer."""
+    from codebased_spark.operators.docs import build_docs
+    from codebased_spark.operators.semantic import doc_features, doc_features_cached
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    long_text = " ".join(f"tok{i}" for i in range(8200))  # > 8192 tokens
+    rows = [
+        ("r1", "small.py", "c" * 40, "python", 'print("alpha beta")'),
+        ("r1", "huge.py", "d" * 40, "python", long_text),
+        ("r1", "tiny.py", "e" * 40, "python", 'print("gamma")'),
+    ]
+    docs = build_docs(spark.createDataFrame(rows, CORPUS_SCHEMA), num_blocks=2)
+    emb_acc = spark.sparkContext.accumulator(0)
+    skip_acc = spark.sparkContext.accumulator(0)
+    out = doc_features_cached(
+        spark, docs, str(tmp_path / "cache"), counter=emb_acc, skip_counter=skip_acc
+    ).collect()
+    assert len(out) == 2 and emb_acc.value == 2 and skip_acc.value == 1
+    huge_id = {r["path"]: int(r["doc_id"]) for r in docs.collect()}["huge.py"]
+    assert huge_id not in {int(r["doc_id"]) for r in out}
+    ref = {int(r["doc_id"]): r["embedding"] for r in doc_features(docs).collect()}
+    assert {int(r["doc_id"]): r["embedding"] for r in out} == {
+        d: e for d, e in ref.items() if d != huge_id
+    }
+
+
+def test_cache_dim_key(spark, tmp_path):
+    """Changing ``dim`` must never serve vectors of another width from
+    the cache (ADVICE r02): each dim is its own cache partition."""
+    from codebased_spark.operators.docs import build_docs
+    from codebased_spark.operators.semantic import doc_features_cached
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = [("r1", "a.py", "c" * 40, "python", 'print("alpha beta gamma")')]
+    docs = build_docs(spark.createDataFrame(rows, CORPUS_SCHEMA), num_blocks=2)
+    cache = str(tmp_path / "cache")
+    a1 = spark.sparkContext.accumulator(0)
+    out64 = doc_features_cached(spark, docs, cache, dim=64, counter=a1).collect()
+    assert a1.value == 1 and len(out64[0]["embedding"]) == 64
+    a2 = spark.sparkContext.accumulator(0)
+    out16 = doc_features_cached(spark, docs, cache, dim=16, counter=a2).collect()
+    assert a2.value == 1  # different dim -> re-embedded, not served stale
+    assert len(out16[0]["embedding"]) == 16
+    a3 = spark.sparkContext.accumulator(0)
+    doc_features_cached(spark, docs, cache, dim=64, counter=a3).collect()
+    assert a3.value == 0  # original dim still fully cached
+
+
 def test_rerank_contract():
     """Reference search.py:226-232: proposed order wins, unknown ids are
     skipped silently, unproposed results are culled."""

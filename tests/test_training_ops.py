@@ -357,3 +357,25 @@ def test_curate_corpus_reasons_and_report(spark):
            curation_report(curate_corpus(docs)).collect()}
     assert rep["kept"] == 2
     assert sum(rep.values()) == len(rows)
+
+
+def test_curate_prefix_canon_survives_gated_canon(spark):
+    """ADVICE r02: if the min-doc_id member of a prefix group fails a
+    length gate, the canon must fall to the lowest SURVIVING member —
+    a prefix group must never vanish with no representative."""
+    from codebased_spark.operators.curate import curate_corpus
+
+    shared = "alpha beta gamma delta epsilon"
+    # doc 0: lowest doc_id in the prefix group but fails the max_chars
+    # gate; docs 1 and 2 share the 5-word prefix and pass the gates
+    docs = spark.createDataFrame(
+        [(0, shared + " " + "x" * 200), (1, shared + " tail one here"),
+         (2, shared + " tail two there")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in curate_corpus(docs, max_chars=100).collect()}
+    assert got[0] == (False, "too_long")
+    # doc 1 is the canon among gate-passers -> kept, doc 2 is the dup
+    assert got[1] == (True, None)
+    assert got[2] == (False, "near_duplicate_prefix")

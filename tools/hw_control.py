@@ -42,8 +42,6 @@ def main() -> None:
     out = {"metric": "hw_control_np_sort", "wall_sec": wall}
     for w in counts:
         if w * 4 in wall:
-            out[f"eff_{w}x4"] = round(wall[w] / (4 * wall[w * 4]) * 4, 3) if wall[w * 4] else None
-            # efficiency = T_w / (4 * T_4w) would be wrong; correct:
             # speedup = T_w / T_4w ; efficiency = speedup / 4
             out[f"eff_{w}x4"] = round((wall[w] / wall[w * 4]) / 4.0, 3)
     print(json.dumps(out))
