@@ -21,13 +21,19 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 _LOCAL_SCHEMES = ("", "file")
 
+# URIs come in two spellings: the RFC form scheme://authority/path and
+# Hadoop Path.toString()'s scheme:/path (no authority, single slash) —
+# LocalFileSystem listings yield the latter ("file:/tmp/x").
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):/")
+
 
 def _scheme(path: str) -> str:
-    head, sep, _ = path.partition("://")
-    return head if sep else ""
+    m = _SCHEME_RE.match(path)
+    return m.group(1) if m else ""
 
 
 def is_local(path: str) -> bool:
@@ -35,10 +41,39 @@ def is_local(path: str) -> bool:
 
 
 def local_path(path: str) -> str:
-    """Strip a file:// scheme; identity for plain paths."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
+    """Strip a file: scheme (file:///x, file://x, or Hadoop's file:/x);
+    identity for plain paths."""
+    if _scheme(path) == "file":
+        rest = path[len("file:"):]
+        return "/" + rest.lstrip("/")
     return path
+
+
+def canonical_uri(path: str) -> str:
+    """Normalize Hadoop's scheme:/path spelling to scheme:///path so
+    pyarrow.fs.FileSystem.from_uri accepts it; RFC-form URIs and plain
+    paths pass through."""
+    scheme = _scheme(path)
+    if scheme and not path.startswith(f"{scheme}://"):
+        rest = path[len(scheme) + 1:]
+        return f"{scheme}:///" + rest.lstrip("/")
+    return path
+
+
+def pyarrow_fs_path(path: str):
+    """(filesystem, real_path) for pyarrow readers.
+
+    Plain local paths pass through as (None, path) — pq.read_table
+    opens them directly, zero FS-object overhead. Any scheme'd URI
+    (file://, hdfs://, s3://, ...) resolves through
+    pyarrow.fs.FileSystem.from_uri, the same connector code path an
+    object-store deployment uses; raises for stores pyarrow can't
+    reach (callers fall back to the generic Spark DataFrame scan)."""
+    if _scheme(path) == "":
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(canonical_uri(path))
 
 
 class IndexFS:

@@ -59,17 +59,55 @@ def test_indexfs_roundtrip(spark, tmp_path, force_jvm):
     assert not fs.exists(base + "/postings2")
 
 
-def test_build_and_search_on_file_uri(spark, tmp_path):
-    """A file:// index URI goes through the same engine paths as a plain
-    path (scheme stripped for the pyarrow fast path)."""
-    from codebased_spark.plans.engine import build_index
-    from codebased_spark.sources.corpus import fixture_corpus
+@pytest.mark.parametrize("force_jvm", [False, True], ids=["posix-list", "hadoop-list"])
+def test_build_and_search_on_file_uri(spark, tmp_path, force_jvm):
+    """VERDICT r02 #2 (remote-store fast path): an index addressed by a
+    scheme'd URI keeps the pyarrow shard fast path — posting_files are
+    URIs opened through pyarrow.fs in the tasks, results bit-identical
+    to the same index addressed by plain path, tombstones included.
+    force_jvm additionally routes the shard LISTING through the Hadoop
+    FileSystem API (file:/-style URIs), the exact flow an hdfs://
+    deployment uses."""
+    from codebased_spark.plans.engine import FtsIndex, build_index
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+    from codebased_spark.streaming.incremental import incremental_update
 
-    idx_dir = "file://" + str(tmp_path / "uri_idx")
-    index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=2)
-    assert index.posting_files  # fast path available: URIs resolved to local paths
-    assert all(os.path.exists(p) for _, p in index.posting_files)
-    assert index.search("hello", 10).count() > 0
+    v1 = [
+        ("r1", "a.py", "c" * 40, "python", 'print("hello world")'),
+        ("r1", "b.py", "c" * 40, "python", 'print("hello again world")'),
+        ("r1", "c.md", "c" * 40, "text", "hello hello hello world"),
+    ]
+    plain = str(tmp_path / "uri_idx")
+    build_index(spark, spark.createDataFrame(v1, CORPUS_SCHEMA), plain, num_blocks=2)
+    # tombstone one doc so the deletes path is exercised through the URI too
+    incremental_update(
+        spark, plain,
+        spark.createDataFrame([v1[0], v1[2]], CORPUS_SCHEMA), full_snapshot=True,
+    )
+
+    ref = FtsIndex(spark, plain)
+    assert ref.posting_files and all("://" not in p for _, p in ref.posting_files)
+
+    uri = FtsIndex(spark, "file://" + plain, force_jvm=force_jvm)
+    assert uri.posting_files  # fast path kept, not the generic fallback
+    assert all(p.startswith("file://") for _, p in uri.posting_files)
+
+    deleted_id = {r["path"]: int(r["doc_id"])
+                  for r in ref.doc_stats.collect()}["b.py"]
+    for q in ["hello world", '"hello hello"']:
+        want = [(int(r["doc_id"]), bool(r["name_match"]), round(float(r["score"]), 12))
+                for r in ref.search(q, 10).collect()]
+        got = [(int(r["doc_id"]), bool(r["name_match"]), round(float(r["score"]), 12))
+               for r in uri.search(q, 10).collect()]
+        assert got == want and want, q
+        # the tombstone was honored THROUGH the URI deletes read
+        assert deleted_id not in {d for d, _, _ in got}
+
+    # batch path through the URI store too
+    got_b = {(int(r["qid"]), int(r["doc_id"])) for r in
+             uri.search_batch(["hello world"], 10).collect()}
+    want_b = {(0, int(r["doc_id"])) for r in ref.search("hello world", 10).collect()}
+    assert got_b == want_b
 
 
 def test_resume_adopts_manifest_num_blocks(spark, tmp_path):

@@ -165,6 +165,35 @@ def test_batch_search_matches_individual(spark, built):
     assert 3 not in by_q and 4 not in by_q and 5 not in by_q
 
 
+def test_batch_search_100_queries_flat_plan(spark, built):
+    """VERDICT r02 #5: batch width must not grow the plan. 100 queries
+    run through the same single flat plan (broadcast idf lookup + one
+    scoring expression), in wall-time comparable to a 6-query batch —
+    the old shape built 2 unioned branches per query and would spend
+    minutes compiling. Results stay bit-identical to search()."""
+    import time
+
+    index, _ = built
+    words = ["hello", "world", "server", "started", "code", "scan",
+             "return", "port", "table", "merge"]
+    queries = [f"{words[i % 10]} {words[(i * 3 + 1) % 10]}" for i in range(100)]
+    t0 = time.time()
+    batch = index.search_batch(queries, top_k=10)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(int(r["qid"]), []).append(
+            (bool(r["name_match"]), round(float(r["rank"]), 12), int(r["doc_id"]))
+        )
+    took = time.time() - t0
+    assert took < 90.0  # flat plan: seconds, not branch-compile minutes
+    for qi in range(0, 100, 11):  # sample parity vs single-query search
+        single = sorted(
+            (bool(r["name_match"]), round(float(r["rank"]), 12), int(r["doc_id"]))
+            for r in index.search(queries[qi], 10).collect()
+        )
+        assert sorted(by_q.get(qi, [])) == single, queries[qi]
+
+
 def test_multichunk_selective_decode_parity(spark, tmp_path):
     """Blocks with many 128-doc chunks: the chunk-selective membership /
     position reads must give the same scores as the brute-force scan."""
@@ -384,6 +413,54 @@ def test_single_trigram_wand_unit(spark):
         assert (kd == want).all(), k
         idx = np.searchsorted(doc_ids, kd)
         assert (kt == tfs[idx]).all() and (kl == dls[idx]).all()
+
+
+def test_pareto_skyband_matches_bruteforce():
+    """The sort-filter-skyline sweep returns EXACTLY the brute-force
+    k-skyband (docs with < top_k dominators), including tie groups and
+    duplicate norm vectors — across sizes, phrase counts, and k."""
+    import numpy as np
+
+    from codebased_spark.operators.query import _norm_np, _pareto_survivors
+
+    rng = np.random.RandomState(42)
+    for n, p, k in [(50, 2, 3), (200, 3, 5), (500, 2, 10), (300, 4, 1)]:
+        tfs = rng.randint(1, 8, size=(n, p)).astype(np.int64)
+        tfs[:: 7] = tfs[0]  # duplicate-vector tie groups
+        dl = rng.randint(10, 200, size=n).astype(np.int64)
+        dl[::7] = dl[0]
+        doc_ids = np.arange(n, dtype=np.int64) * 3 + 1
+        avgdl = 55.5
+        got = _pareto_survivors(tfs, dl, doc_ids, avgdl, k, chunk=64)
+        N = np.stack([_norm_np(tfs[:, i], dl, avgdl) for i in range(p)], axis=1)
+        ge = (N[None, :, :] >= N[:, None, :]).all(axis=2)
+        gt = (N[None, :, :] > N[:, None, :]).any(axis=2)
+        idlt = doc_ids[None, :] < doc_ids[:, None]
+        dom = ge & (gt | idlt)
+        want = dom.sum(axis=1) < k
+        assert (got == want).all(), (n, p, k)
+
+
+def test_pareto_prunes_above_old_cap():
+    """VERDICT r02 #4: blocks beyond the old 8,192-survivor cap must
+    still prune (the cap is gone) — and quickly, since the kept
+    frontier stays near the skyband size."""
+    import time
+
+    import numpy as np
+
+    from codebased_spark.operators.query import _pareto_survivors
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    tfs = rng.randint(1, 30, size=(n, 2)).astype(np.int64)
+    dl = rng.randint(10, 500, size=n).astype(np.int64)
+    doc_ids = np.arange(n, dtype=np.int64)
+    t0 = time.time()
+    keep = _pareto_survivors(tfs, dl, doc_ids, 100.0, 32)
+    took = time.time() - t0
+    assert keep.sum() < n // 4  # actual pruning happened above the old cap
+    assert took < 10.0  # and not via an O(n^2) matrix
 
 
 @pytest.mark.parametrize("query,top_k", [
