@@ -833,7 +833,15 @@ _SCANNERS = {
 
 def chunk_text(path: str, lang: str, content: str) -> list[Obj]:
     """P1: one file -> objects. Always the whole-file object first
-    (name=path, kind='file'), then definitions in source order."""
+    (name=path, kind='file'), then definitions in source order.
+
+    Definition extraction dispatches grammar-first: when tree_sitter
+    AND the language's grammar wheel are importable, the reference's
+    own tag queries run over a real parse tree
+    (operators/chunker_ts.py — reference parser.py:120-160); otherwise
+    the deterministic line scanner below handles the file. Neither
+    runtime ships in this sandbox, so tests pin the scanner goldens
+    here and the grammar path under a skipif gate."""
     L = _Lines(content)
     b = content.encode("utf-8")
     nl = b.rfind(b"\n")
@@ -841,11 +849,16 @@ def chunk_text(path: str, lang: str, content: str) -> list[Obj]:
     objs = [
         Obj(path, "file", 0, 0, b.count(b"\n"), last_len, 0, len(b), [], [])
     ]
-    scanner = _SCANNERS.get(lang)
-    if scanner and content:
-        defs = scanner(L)
-        defs.sort(key=lambda o: (o.start_row, o.start_col, o.byte_start))
-        objs.extend(defs)
+    defs = None
+    if HAVE_TREE_SITTER and content:
+        from codebased_spark.operators.chunker_ts import extract_objects_ts
+
+        defs = extract_objects_ts(lang, content)  # None -> no grammar
+    if defs is None:
+        scanner = _SCANNERS.get(lang)
+        defs = scanner(L) if (scanner and content) else []
+    defs.sort(key=lambda o: (o.start_row, o.start_col, o.byte_start))
+    objs.extend(defs)
     return objs
 
 

@@ -18,10 +18,13 @@ metrics record. (Reference analogue: single SQLite transaction + fts
 codebased/stats.py:59-69.)
 
 Storage: all lifecycle IO goes through plans/fsio.IndexFS, so the index
-may live on HDFS/S3A as well as local disk. On local disk queries use
-the pyarrow shard fast path; on remote stores they fall back to the
-generic DataFrame scan (same results by test) with tombstones applied
-via a per-block cogroup — nothing is ever materialized on the driver.
+may live on HDFS/S3A as well as local disk. Queries keep the pyarrow
+shard fast path on ANY store pyarrow.fs can open (local paths and
+file:// / hdfs:// / s3:// URIs alike — tasks read shards and
+tombstones through the resolved filesystem); only stores pyarrow
+cannot reach fall back to the generic DataFrame scan (same results by
+test) with tombstones applied via a per-block cogroup — nothing is
+ever materialized on the driver either way.
 """
 
 from __future__ import annotations

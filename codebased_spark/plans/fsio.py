@@ -10,8 +10,10 @@ manifests and shard discovery goes through this module:
 - any other URI routes through the JVM Hadoop FileSystem API
   (``spark._jvm.org.apache.hadoop.fs``), the same connector stack the
   executors use to read the parquet tables, so an index on s3a://...
-  lists, loads, and compacts exactly like a local one (queries then use
-  the generic DataFrame scan instead of the pyarrow shard reader).
+  lists, loads, and compacts exactly like a local one (queries keep the
+  pyarrow shard fast path too, opening shards through pyarrow.fs — see
+  :func:`pyarrow_fs_path`; only stores pyarrow can't reach use the
+  generic DataFrame scan).
 
 This replaces the round-1 os.walk/os.rename calls that silently saw an
 empty index on remote storage (ADVICE.md r01, engine.py:115).
