@@ -19,11 +19,14 @@ Physical plan per query:
     |                                          trigram is absent in block
     |                                          (dl inlined in posting rows
     |                                          -> no doc_stats join)
-    |  agg phrase df -> idf (driver scalars, 2*|phrases| longs)
-    |  per-doc conjunction + BM25 sum       <- whole-stage codegen
-    |  name-branch/all-branch ORDER BY rank LIMIT k, union, groupBy,
-    |  final sort+limit                     <- TakeOrderedAndProject
-    (reference CTE: codebased/search.py:240-302)
+    |  ONE collect of the emission-pruned candidates (bounded:
+    |  2*top_k/block single-phrase, k-skyband multi-phrase) ->
+    |  df agg, idf, BM25 sum, two-branch top-k, union/dedupe/top-k all
+    |  finish driver-side in numpy (bit-identical float pipeline) —
+    |  a single Spark job per query; candidate sets beyond
+    |  DRIVER_FINISH_MAX fall back to the JVM plan (whole-stage
+    |  codegen + TakeOrderedAndProject) against the same persisted
+    |  candidates (reference CTE: codebased/search.py:240-302)
 
 Exactness: identical scores to operators/score.py (brute force) and to
 SQLite FTS5 — phrase tf via consecutive-position intersection equals
@@ -730,6 +733,16 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
     return fn
 
 
+def _files_df(spark, posting_files):
+    """(pblock, path) DataFrame spread over tasks AT CREATION
+    (sc.parallelize with explicit slices) — a repartition() here would
+    be a shuffle exchange that AQE materializes as an extra Spark job
+    per query; this way the shard scan is the query's only job."""
+    n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(list(posting_files), n_part)
+    return spark.createDataFrame(rdd, "pblock int, path string")
+
+
 def search_index_files_batch(
     spark,
     posting_files: list[tuple[int, str]],
@@ -767,9 +780,7 @@ def search_index_files_batch(
         return empty
 
     needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
-    files_df = spark.createDataFrame(posting_files, "pblock int, path string")
-    n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
-    cand = files_df.repartition(n_part).mapInPandas(
+    cand = _files_df(spark, posting_files).mapInPandas(
         _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed,
                              deletes_dir, top_k, avgdl),
         BATCH_SCHEMA,
@@ -956,59 +967,146 @@ def search_index_files(
     term_ids = [phrase_terms(p) for p in phrases]
     needed = sorted({int(t) for ts in term_ids for t in ts})
 
-    files_df = spark.createDataFrame(posting_files, "pblock int, path string")
-    n_part = min(len(posting_files), max(2, spark.sparkContext.defaultParallelism))
-    cand = files_df.repartition(n_part).mapInPandas(
+    cand = _files_df(spark, posting_files).mapInPandas(
         _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl),
         CAND2_SCHEMA,
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
 
 
+# Above this many candidate rows the scoring tail runs as a JVM plan
+# (2nd Spark job) instead of finishing on the driver. Emission pruning
+# bounds the common case far below it: single-phrase blocks emit at
+# most 2*top_k docs each, multi-phrase blocks their k-skyband.
+DRIVER_FINISH_MAX = 200_000
+
+
 def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
+    """Scoring tail of a single query: exact phrase df -> idf -> BM25 ->
+    two-branch top-k -> union/dedupe/top-k (reference CTE
+    codebased/search.py:240-302).
+
+    ONE Spark job in the common case: the emission-pruned candidate
+    rows (plus the tiny per-block df stats) are pulled once and the
+    scoring/merge finishes in numpy — _norm_np and the idf/score
+    accumulation mirror the JVM expressions operation-for-operation, so
+    results are bit-identical to the JVM plan (pinned by the parity
+    suite, which runs both paths). Candidate sets beyond
+    DRIVER_FINISH_MAX rows (adversarial skybands) fall back to the
+    JVM plan against the SAME persisted candidates — one extra job,
+    never a rescan."""
     cand = cand.persist()
     try:
-        dfs = {
-            int(r["phrase"]): (int(r["sa"]), int(r["sn"]))
-            for r in cand.filter(F.col("kind") == 0)
-            .groupBy("phrase")
-            .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
-            .collect()
-        }
-        if len(dfs) < n_ph:
-            return empty  # some phrase matches nothing anywhere -> AND fails
-        idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
-        idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
-
-        def score_expr(tf_col, idfs):
-            s = F.lit(0.0)
-            for i, w in enumerate(idfs):
-                s = s + F.lit(w) * _norm(F.col(tf_col)[i], F.col("dl"), avgdl)
-            return s
-
-        docs_r = cand.filter(F.col("kind") == 1)
-        all_b = (
-            docs_r.select("doc_id", F.lit(False).alias("name_match"),
-                          (-score_expr("tfs_all", idf_all)).alias("rank"))
-            .orderBy(F.asc("rank"), F.asc("doc_id"))
-            .limit(top_k)
-        )
-        name_b = (
-            docs_r.filter(F.forall(F.col("tfs_name"), lambda x: x > 0))
-            .select("doc_id", F.lit(True).alias("name_match"),
-                    (-score_expr("tfs_name", idf_name)).alias("rank"))
-            .orderBy(F.asc("rank"), F.asc("doc_id"))
-            .limit(top_k)
-        )
-        merged = (
-            name_b.unionAll(all_b)
-            .groupBy("doc_id")
-            .agg(F.max("name_match").alias("name_match"), F.min("rank").alias("rank"))
-            .orderBy(F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
-            .limit(top_k)
-            .withColumn("score", -F.col("rank"))
-        )
-        out = merged.localCheckpoint(eager=True)
+        rows = cand.limit(DRIVER_FINISH_MAX + 1).collect()
+        if len(rows) <= DRIVER_FINISH_MAX:
+            return _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty)
+        out = _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty)
     finally:
         cand.unpersist()
     return out
+
+
+def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
+    """Driver-side scoring tail over collected candidate rows."""
+    dfs: dict[int, list[int]] = {}
+    docs = []
+    for r in rows:
+        if r["kind"] == 0:
+            e = dfs.setdefault(int(r["phrase"]), [0, 0])
+            e[0] += int(r["df_all"])
+            e[1] += int(r["df_name"])
+        else:
+            docs.append(r)
+    if len(dfs) < n_ph:
+        return empty  # some phrase matches nothing anywhere -> AND fails
+    if not docs:
+        return empty
+    idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
+    idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
+
+    n = len(docs)
+    doc_id = np.fromiter((r["doc_id"] for r in docs), dtype=np.int64, count=n)
+    dl = np.fromiter((r["dl"] for r in docs), dtype=np.int64, count=n)
+    tfs_all = np.array([r["tfs_all"] for r in docs], dtype=np.int64)
+    tfs_name = np.array([r["tfs_name"] for r in docs], dtype=np.int64)
+
+    def rank_of(tfs, idfs):
+        # same accumulation order as the JVM chain lit(0.0) + w0*n0 + ...
+        s = np.zeros(n)
+        for i, w in enumerate(idfs):
+            s = s + w * _norm_np(tfs[:, i], dl, avgdl)
+        return -s
+
+    rank_all = rank_of(tfs_all, idf_all)
+    sel_all = np.lexsort((doc_id, rank_all))[:top_k]
+    named = np.flatnonzero((tfs_name > 0).all(axis=1))
+    merged: dict[int, tuple[bool, float]] = {}
+    if named.size:
+        rank_name_full = rank_of(tfs_name, idf_name)
+        sel_name = named[np.lexsort((doc_id[named], rank_name_full[named]))[:top_k]]
+        for j in sel_name:
+            merged[int(doc_id[j])] = (True, float(rank_name_full[j]))
+    for j in sel_all:
+        d = int(doc_id[j])
+        got = merged.get(d)
+        r = float(rank_all[j])
+        if got is None:
+            merged[d] = (False, r)
+        else:
+            merged[d] = (got[0], min(got[1], r))
+    final = sorted(
+        ((d, nm, rk) for d, (nm, rk) in merged.items()),
+        key=lambda t: (not t[1], t[2], t[0]),
+    )[:top_k]
+    if not final:
+        return empty
+    return empty.sparkSession.createDataFrame(
+        [(d, nm, rk, -rk) for d, nm, rk in final],
+        "doc_id long, name_match boolean, rank double, score double",
+    )
+
+
+def _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty):
+    """JVM scoring tail (the pre-r3 shape) — the fallback when the
+    candidate set is too large to pull to the driver."""
+    dfs = {
+        int(r["phrase"]): (int(r["sa"]), int(r["sn"]))
+        for r in cand.filter(F.col("kind") == 0)
+        .groupBy("phrase")
+        .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
+        .collect()
+    }
+    if len(dfs) < n_ph:
+        return empty  # some phrase matches nothing anywhere -> AND fails
+    idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
+    idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
+
+    def score_expr(tf_col, idfs):
+        s = F.lit(0.0)
+        for i, w in enumerate(idfs):
+            s = s + F.lit(w) * _norm(F.col(tf_col)[i], F.col("dl"), avgdl)
+        return s
+
+    docs_r = cand.filter(F.col("kind") == 1)
+    all_b = (
+        docs_r.select("doc_id", F.lit(False).alias("name_match"),
+                      (-score_expr("tfs_all", idf_all)).alias("rank"))
+        .orderBy(F.asc("rank"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    name_b = (
+        docs_r.filter(F.forall(F.col("tfs_name"), lambda x: x > 0))
+        .select("doc_id", F.lit(True).alias("name_match"),
+                (-score_expr("tfs_name", idf_name)).alias("rank"))
+        .orderBy(F.asc("rank"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    merged = (
+        name_b.unionAll(all_b)
+        .groupBy("doc_id")
+        .agg(F.max("name_match").alias("name_match"), F.min("rank").alias("rank"))
+        .orderBy(F.desc("name_match"), F.asc("rank"), F.asc("doc_id"))
+        .limit(top_k)
+        .withColumn("score", -F.col("rank"))
+    )
+    return merged.localCheckpoint(eager=True)

@@ -415,6 +415,25 @@ def test_single_trigram_wand_unit(spark):
         assert (kt == tfs[idx]).all() and (kl == dls[idx]).all()
 
 
+def test_driver_finish_matches_jvm_tail(spark, built, monkeypatch):
+    """The one-job driver-side scoring tail and the JVM fallback plan
+    must return identical rows (same doc ids, name_match, and EXACT
+    rank/score doubles) — forced by dropping DRIVER_FINISH_MAX to 0."""
+    import codebased_spark.operators.query as q
+
+    index, _ = built
+    queries = ["Hello world", "Server started", '"wor"', "code hello"]
+    fast = {qq: [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+                 for r in index.search(qq, 10).collect()] for qq in queries}
+    index._search_cache.clear()
+    monkeypatch.setattr(q, "DRIVER_FINISH_MAX", 0)
+    for qq in queries:
+        jvm = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+               for r in index.search(qq, 10).collect()]
+        assert jvm == fast[qq], qq
+    index._search_cache.clear()
+
+
 def test_pareto_skyband_matches_bruteforce():
     """The sort-filter-skyline sweep returns EXACTLY the brute-force
     k-skyband (docs with < top_k dominators), including tie groups and
