@@ -752,9 +752,11 @@ def search_index_files_batch(
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
 ) -> DataFrame:
-    """Batched two-branch FTS search: one shared posting scan for all
-    queries, then per-query branch top-k via windows — 2 Spark jobs
-    total regardless of batch size. Returns
+    """Batched two-branch FTS search: one shared posting scan serves
+    every query, and the scoring tail finishes driver-side — ONE Spark
+    job for the whole batch in the common case (the JVM flat plan
+    remains the fallback above DRIVER_FINISH_MAX candidate rows, one
+    extra job against the same persisted candidates). Returns
     (qid, doc_id, name_match, rank, score); queries yielding no results
     (invalid phrases / failed AND) simply have no rows.
 
@@ -786,6 +788,25 @@ def search_index_files_batch(
         BATCH_SCHEMA,
     ).persist()
     try:
+        # one-job driver finish, same as the single-query tail: pull the
+        # emission-pruned candidates once and score every query in numpy
+        rows = cand.limit(DRIVER_FINISH_MAX + 1).collect()
+        if len(rows) <= DRIVER_FINISH_MAX:
+            by_q: dict[int, list] = {}
+            for r in rows:
+                by_q.setdefault(int(r["qid"]), []).append(r)
+            out_rows = []
+            for qi, phrases, _tids in parsed:
+                fin = _finish_rows(by_q.get(qi, []), len(phrases),
+                                   n_docs, avgdl, top_k)
+                out_rows.extend((qi, d, nm, rk, -rk) for d, nm, rk in fin)
+            if not out_rows:
+                return empty
+            return spark.createDataFrame(
+                out_rows,
+                "qid int, doc_id long, name_match boolean, rank double, score double",
+            )
+        # fallback: JVM flat plan over the same persisted candidates
         dfs = {
             (int(r["qid"]), int(r["phrase"])): (int(r["sa"]), int(r["sn"]))
             for r in cand.filter(F.col("kind") == 0)
@@ -1007,7 +1028,21 @@ def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
 
 
 def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
-    """Driver-side scoring tail over collected candidate rows."""
+    """Driver-side scoring tail over one query's collected candidates."""
+    final = _finish_rows(rows, n_ph, n_docs, avgdl, top_k)
+    if not final:
+        return empty
+    return empty.sparkSession.createDataFrame(
+        [(d, nm, rk, -rk) for d, nm, rk in final],
+        "doc_id long, name_match boolean, rank double, score double",
+    )
+
+
+def _finish_rows(rows, n_ph, n_docs, avgdl, top_k):
+    """Numpy scoring tail over ONE query's candidate rows: returns
+    [(doc_id, name_match, rank)] best-first (empty on AND-fail) —
+    bit-identical to the JVM expressions (shared _norm_np float
+    pipeline, same accumulation order)."""
     dfs: dict[int, list[int]] = {}
     docs = []
     for r in rows:
@@ -1018,9 +1053,9 @@ def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
         else:
             docs.append(r)
     if len(dfs) < n_ph:
-        return empty  # some phrase matches nothing anywhere -> AND fails
+        return []  # some phrase matches nothing anywhere -> AND fails
     if not docs:
-        return empty
+        return []
     idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
     idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
 
@@ -1054,16 +1089,10 @@ def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
             merged[d] = (False, r)
         else:
             merged[d] = (got[0], min(got[1], r))
-    final = sorted(
+    return sorted(
         ((d, nm, rk) for d, (nm, rk) in merged.items()),
         key=lambda t: (not t[1], t[2], t[0]),
     )[:top_k]
-    if not final:
-        return empty
-    return empty.sparkSession.createDataFrame(
-        [(d, nm, rk, -rk) for d, nm, rk in final],
-        "doc_id long, name_match boolean, rank double, score double",
-    )
 
 
 def _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty):

@@ -425,12 +425,21 @@ def test_driver_finish_matches_jvm_tail(spark, built, monkeypatch):
     queries = ["Hello world", "Server started", '"wor"', "code hello"]
     fast = {qq: [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
                  for r in index.search(qq, 10).collect()] for qq in queries}
+    fast_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in index.search_batch(queries, 10).collect()
+    )
     index._search_cache.clear()
     monkeypatch.setattr(q, "DRIVER_FINISH_MAX", 0)
     for qq in queries:
         jvm = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
                for r in index.search(qq, 10).collect()]
         assert jvm == fast[qq], qq
+    jvm_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in index.search_batch(queries, 10).collect()
+    )
+    assert jvm_b == fast_b  # batch fallback identical too
     index._search_cache.clear()
 
 
