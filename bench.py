@@ -32,10 +32,35 @@ QUERIES = {
 }
 
 
+def _hw_probe() -> dict:
+    """Self-calibration: the numpy hardware control (tools/hw_control.py,
+    no Spark) at 1 and 8 workers, run BEFORE the bench. This VM
+    throttles sustained load monotonically through a session (BENCH.md
+    'host collapse' sections), so a bench artifact is only
+    interpretable next to the host's state at measurement time —
+    embed it in the same JSON line."""
+    import json as _json
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "hw_control.py"), "1", "8"],
+            capture_output=True, text=True, timeout=300,
+        )
+        wall = _json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"]
+        return {"hw_np_sort_1w_sec": wall.get("1"),
+                "hw_np_sort_8w_sec": wall.get("8")}
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    hw = _hw_probe()
 
     from codebased_spark.session import get_spark
 
@@ -115,6 +140,7 @@ def main() -> None:
                 "batch6_total_sec": batch_sec,
                 "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
                 "cpus": cpus,
+                **hw,
             }
         )
     )
