@@ -707,6 +707,129 @@ FROM flagged
 """
 
 
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al. 2022) at 8-token
+    granularity: spans shared by >= 2 distinct documents."""
+    from codebased_spark.operators.trainprep import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_documents(spark, sf_dir), n=8, min_docs=2)
+
+
+DUP_NGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text, '')), ' +') AS words
+  FROM documents
+),
+nums AS (SELECT unnest(range(1, 1 + (SELECT max(len(words)) FROM w))) AS i),
+g AS (
+  SELECT w.doc_id, array_to_string(w.words[n.i:n.i + 7], ' ') AS ngram
+  FROM w JOIN nums n ON n.i <= len(w.words) - 7
+)
+SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination: overlap of each doc's distinct 8-grams
+    with a 'benchmark' probe set (docs 0-9 stand in for one)."""
+    from codebased_spark.operators.trainprep import benchmark_contamination
+
+    d = _documents(spark, sf_dir)
+    return benchmark_contamination(d, d.filter(F.col("doc_id") < 10), n=8)
+
+
+CONTAMINATION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text, '')), ' +') AS words
+  FROM documents
+),
+nums AS (SELECT unnest(range(1, 1 + (SELECT max(len(words)) FROM w))) AS i),
+g AS (
+  SELECT DISTINCT w.doc_id, array_to_string(w.words[n.i:n.i + 7], ' ') AS ngram
+  FROM w JOIN nums n ON n.i <= len(w.words) - 7
+),
+probe AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 10),
+totals AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY 1),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_contaminated
+  FROM g JOIN probe p ON g.ngram = p.ngram GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n_ngrams, 0) AS n_ngrams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0)::DOUBLE
+             / greatest(coalesce(t.n_ngrams, 0), 1), 6) AS contamination
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: the synthetic corpus carries no PII, so the
+    gate plants deterministic emails/IPs/id-numbers per doc (same
+    derivation in the oracle) — the regex redaction pipeline and its
+    counts are then value-checked cross-engine on non-trivial input."""
+    from codebased_spark.operators.trainprep import pii_scrub
+
+    d = _documents(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 123456789"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+PII_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || doc_id::VARCHAR
+         || '@example.com from 10.0.' || (doc_id % 256)::VARCHAR
+         || '.7 ref 123456789' AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g') AS s1
+  FROM planted
+),
+s2 AS (
+  SELECT *, regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS sc2 FROM s
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+       len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(sc2, '\b\d{9,}\b')) AS n_longnums,
+       sha256(regexp_replace(sc2, '\b\d{9,}\b', '[NUM]', 'g')) AS scrubbed_sha256
+FROM s2
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from codebased_spark.operators.trainprep import dataset_split
+
+    return dataset_split(_documents(spark, sf_dir), val_pct=10, salt="v1")
+
+
+DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket::INT AS bucket,
+       CASE WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+FROM b
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic synthetic media table ->
     binary-payload feature extraction -> exact cosine top-10 (rows-only:
@@ -934,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate,
         "ann_topk_ivf": q_ann_ivf,
         "windowed_event_counts": q_windowed_counts,
+        "duplicate_ngram_spans": q_dup_ngram_spans,
+        "benchmark_contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -970,6 +1097,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash_sql(),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "duplicate_ngram_spans": DUP_NGRAM_SQL,
+        "benchmark_contamination": CONTAMINATION_SQL,
+        "pii_scrub": PII_SQL,
+        "dataset_split": DATASET_SPLIT_SQL,
         # media_features_cosine / video_frame_sample stay rows-only: the
         # media table is engine-synthesized (no DuckDB view exists).
     }

@@ -1,0 +1,137 @@
+"""Training-data preparation operators beyond dedup/curation.
+
+Four ops a large-scale LLM-data pipeline runs between raw corpus and
+training shards, each pure DataFrame algebra (whole-stage codegen, no
+Python in the hot path) and each value-verifiable in any SQL engine:
+
+- duplicate_ngram_spans: cross-document repeated n-grams — the exact
+  substring-duplication signal of Lee et al. 2022 ("Deduplicating
+  Training Data Makes Language Models Better") at n-token granularity.
+- benchmark_contamination: per-document fraction of n-grams that
+  appear in a benchmark/probe set (train-test contamination check).
+- pii_scrub: redact emails / IPv4s / long digit runs, with per-doc
+  counts — the audit trail a scrub stage must emit.
+- dataset_split: deterministic, engine-portable train/val assignment
+  (universal hash on doc_id; no RNG, stable under re-runs and
+  repartitioning).
+
+Scale notes (100 TB): the n-gram ops shuffle n-token strings with
+map-side partial aggregation; at 10^12-file scale swap the group key
+for md5(ngram) to bound shuffle width (same plan shape — the text key
+is kept here for auditability). Contamination broadcasts the probe
+set (benchmarks are small by definition). pii_scrub and dataset_split
+are stateless row maps — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\b\d{9,}\b"
+
+
+def _word_ngrams(docs: DataFrame, text_col: str, n: int, distinct: bool):
+    """(doc_id, ngram) rows: whitespace n-grams of the lowercased text.
+    Docs with fewer than n tokens contribute nothing (guarded — Spark's
+    sequence(1, 0) would DESCEND, not return empty)."""
+    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return docs.select("doc_id", F.explode(grams).alias("ngram"))
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, text_col: str = "text", n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """(ngram, n_docs, n_occ) for every n-token span occurring in at
+    least ``min_docs`` distinct documents. One shuffle (groupBy ngram)
+    with map-side combine; emitted spans are the candidates an
+    exact-substring dedup pass would cut."""
+    grams = _word_ngrams(docs, text_col, n, distinct=False)
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame, probe: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_contaminated, contamination) per document:
+    the fraction of its DISTINCT n-grams that appear anywhere in the
+    probe corpus (e.g. an eval benchmark). The probe's n-gram set is
+    broadcast — benchmarks are small; the corpus side stays a single
+    scan + one aggregation."""
+    doc_grams = _word_ngrams(docs, text_col, n, distinct=True)
+    probe_grams = (
+        _word_ngrams(probe, text_col, n, distinct=True)
+        .select("ngram").distinct()
+    )
+    hit = doc_grams.join(F.broadcast(probe_grams), "ngram", "left_semi")
+    totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["n_ngrams", "n_contaminated"])
+        .select(
+            "doc_id", "n_ngrams", "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_longnums, scrubbed_sha256): redact
+    emails -> [EMAIL], IPv4s -> [IP], 9+-digit runs -> [NUM] (in that
+    order) and count each. The sha256 of the scrubbed text is returned
+    instead of the text so verification ships 32 bytes per row. The
+    regexes are RE2-safe (no backrefs/lookaround) so any engine
+    reproduces them exactly."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    scrub1 = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    scrub2 = F.regexp_replace(scrub1, IPV4_RE, "[IP]")
+    scrub3 = F.regexp_replace(scrub2, LONGNUM_RE, "[NUM]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(scrub1, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(scrub2, F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
+        F.sha2(scrub3.cast("binary"), 256).alias("scrubbed_sha256"),
+    )
+
+
+def dataset_split(docs: DataFrame, val_pct: int = 10, salt: str = "v1") -> DataFrame:
+    """(doc_id, bucket, split): deterministic train/val assignment —
+    bucket = first 8 hex chars of md5('<salt>:<doc_id>') mod 100, so
+    the split is stable under repartitioning and re-runs (no RNG, no
+    monotonically_increasing_id), engine-portable (any SQL engine
+    reproduces it byte-for-byte), structure-free for ANY doc_id
+    encoding, and re-saltable to draw a fresh split without touching
+    the data."""
+    key = F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+    bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100)
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )

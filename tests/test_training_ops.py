@@ -379,3 +379,103 @@ def test_curate_prefix_canon_survives_gated_canon(spark):
     # doc 1 is the canon among gate-passers -> kept, doc 2 is the dup
     assert got[1] == (True, None)
     assert got[2] == (False, "near_duplicate_prefix")
+
+
+def test_duplicate_ngram_spans(spark):
+    """Cross-doc duplicate n-grams: exact counts on a constructed
+    corpus (shared 3-gram in docs 0/1/2, one doc repeating it twice,
+    sub-n docs contribute nothing)."""
+    from codebased_spark.operators.trainprep import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "a lazy the quick brown dog"),
+            (2, "the quick brown the quick brown"),  # twice in one doc
+            (3, "too short"),                         # < 3 tokens of overlap
+            (4, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["ngram"]: (r["n_docs"], r["n_occ"])
+           for r in duplicate_ngram_spans(docs, n=3, min_docs=2).collect()}
+    assert got["the quick brown"] == (3, 4)  # docs 0,1,2; 2 occurrences in doc 2
+    assert "quick brown fox" not in got      # only doc 0
+    assert all(nd >= 2 for nd, _ in got.values())
+
+
+def test_benchmark_contamination_bounds(spark):
+    """Contamination is 1.0 for a doc fully inside the probe, 0.0 for
+    disjoint text, fractional in between, and 0 for sub-n docs."""
+    from codebased_spark.operators.trainprep import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),            # the probe itself
+            (1, "alpha beta gamma delta epsilon"),    # 2 grams, 1 hit
+            (2, "zeta eta theta iota kappa"),         # disjoint
+            (3, "ab"),                                # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    probe = docs.filter("doc_id = 0")
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination"])
+           for r in benchmark_contamination(docs, probe, n=4).collect()}
+    assert got[0] == (1, 1, 1.0)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_pii_scrub_counts_and_order(spark):
+    """Emails scrub before IPs before long numbers — an email's digits
+    never double-count, and the scrubbed text is fully redacted."""
+    from pyspark.sql import functions as F
+
+    from codebased_spark.operators.trainprep import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@test-host.example.org and 10.20.30.40 plus id 1234567890"),
+            (1, "no pii here at all"),
+            (2, "two mails x@y.io z@w.co one ip 1.2.3.4 nums 999999999 111111111"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["n_longnums"])
+           for r in pii_scrub(docs).collect()}
+    assert got[0] == (1, 1, 1)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (2, 1, 2)
+    # the scrubbed text of doc 0 contains no digits or @ at all
+    from codebased_spark.operators.trainprep import (
+        EMAIL_RE,
+        IPV4_RE,
+        LONGNUM_RE,
+    )
+
+    scrubbed = (
+        docs.filter("doc_id = 0")
+        .select(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            "text", EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"), LONGNUM_RE, "[NUM]")
+            .alias("s"))
+        .collect()[0]["s"]
+    )
+    assert scrubbed == "mail [EMAIL] and [IP] plus id [NUM]"
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    """The split is stable across runs and repartitioning, respects
+    val_pct within sampling noise, and re-salting draws a different
+    assignment."""
+    from codebased_spark.operators.trainprep import dataset_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs, 10, "v1").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in dataset_split(docs.repartition(7), 10, "v1").collect()}
+    assert a == b  # partitioning-invariant
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 140 <= n_val <= 260  # ~10% of 2000
+    c = {r["doc_id"]: r["split"] for r in dataset_split(docs, 10, "v2").collect()}
+    assert c != a  # a new salt draws a fresh split
