@@ -812,6 +812,44 @@ FROM s2
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (duplicate n-gram
+    occurrence fractions for n=2,3,4)."""
+    from codebased_spark.operators.trainprep import repetition_ratios
+
+    return repetition_ratios(_documents(spark, sf_dir))
+
+
+REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text, '')), ' +') AS words
+  FROM documents
+),
+nums AS (SELECT unnest(range(1, 1 + (SELECT max(len(words)) FROM w))) AS i),
+g AS (
+  SELECT w.doc_id, n.i,
+         array_to_string(w.words[n.i:n.i + 1], ' ') AS g2,
+         CASE WHEN n.i <= len(w.words) - 2
+              THEN array_to_string(w.words[n.i:n.i + 2], ' ') END AS g3,
+         CASE WHEN n.i <= len(w.words) - 3
+              THEN array_to_string(w.words[n.i:n.i + 3], ' ') END AS g4
+  FROM w JOIN nums n ON n.i <= len(w.words) - 1
+),
+agg AS (
+  SELECT doc_id,
+         count(g2) AS t2, count(DISTINCT g2) AS d2,
+         count(g3) AS t3, count(DISTINCT g3) AS d3,
+         count(g4) AS t4, count(DISTINCT g4) AS d4
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id,
+       round(CASE WHEN coalesce(a.t2, 0) > 0 THEN 1.0 - a.d2::DOUBLE / a.t2 ELSE 0.0 END, 6) AS dup2,
+       round(CASE WHEN coalesce(a.t3, 0) > 0 THEN 1.0 - a.d3::DOUBLE / a.t3 ELSE 0.0 END, 6) AS dup3,
+       round(CASE WHEN coalesce(a.t4, 0) > 0 THEN 1.0 - a.d4::DOUBLE / a.t4 ELSE 0.0 END, 6) AS dup4
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.operators.trainprep import dataset_split
 
@@ -1061,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "dataset_split": q_dataset_split,
+        "repetition_ratios": q_repetition,
     }
 
 
@@ -1101,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": CONTAMINATION_SQL,
         "pii_scrub": PII_SQL,
         "dataset_split": DATASET_SPLIT_SQL,
+        "repetition_ratios": REPETITION_SQL,
         # media_features_cosine / video_frame_sample stay rows-only: the
         # media table is engine-synthesized (no DuckDB view exists).
     }

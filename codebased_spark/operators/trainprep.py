@@ -120,6 +120,41 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup2, dup3, dup4): within-document repetition — the
+    fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the SAME doc (1 - distinct/total), for n = 2, 3, 4. The
+    Gopher-rules family of quality gates thresholds exactly these
+    signals to drop boilerplate/spam. All array algebra inside one
+    projection — no explode, no shuffle."""
+    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " +")
+
+    def dup_frac(n: int):
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.round(
+            F.when(
+                total > 0,
+                1.0 - F.size(F.array_distinct(grams)).cast("double")
+                / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        dup_frac(2).alias("dup2"),
+        dup_frac(3).alias("dup3"),
+        dup_frac(4).alias("dup4"),
+    )
+
+
 def dataset_split(docs: DataFrame, val_pct: int = 10, salt: str = "v1") -> DataFrame:
     """(doc_id, bucket, split): deterministic train/val assignment —
     bucket = first 8 hex chars of md5('<salt>:<doc_id>') mod 100, so

@@ -479,3 +479,28 @@ def test_dataset_split_deterministic_and_proportional(spark):
     assert 140 <= n_val <= 260  # ~10% of 2000
     c = {r["doc_id"]: r["split"] for r in dataset_split(docs, 10, "v2").collect()}
     assert c != a  # a new salt draws a fresh split
+
+
+def test_repetition_ratios(spark):
+    """Gopher-style duplicate n-gram fractions: exact on constructed
+    docs (full repetition, no repetition, degenerate short docs)."""
+    from codebased_spark.operators.trainprep import repetition_ratios
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
+            (1, "all words here are unique"),  # no repeats
+            (2, "one"),                        # sub-n
+            (3, ""),                           # empty
+            (4, "a b a b a b"),                # "a b" x3 + "b a" x2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["dup2"], r["dup3"], r["dup4"])
+           for r in repetition_ratios(docs).collect()}
+    assert got[0] == (0.75, round(1 - 1 / 3, 6), 0.5)
+    assert got[1] == (0.0, 0.0, 0.0)
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    # 4-grams of doc 4: "a b a b", "b a b a", "a b a b" -> 3 total, 2 distinct
+    assert got[4] == (0.6, 0.5, round(1 / 3, 6))
