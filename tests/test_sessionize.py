@@ -240,3 +240,53 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for r in windowed_event_counts(full, "1 hour", None).collect()
     }
     assert batch["2024-01-01 00:00:00"] == (3, 9.0)
+
+
+def test_stream_dedup_exact_with_state_expiry(spark, tmp_path):
+    """Streaming exact dedup: first arrival of a digest is emitted,
+    re-arrivals within the watermark horizon are dropped, and after the
+    watermark evicts the digest's state the same content is admitted
+    again (bounded-state dedup within a freshness window)."""
+    import datetime as dt2
+
+    from codebased_spark.streaming.dedupe import dedup_exact_stream
+
+    SCHEMA = "doc_id long, ts timestamp, text string"
+
+    def doc(i, hour, minute, text):
+        return (i, dt2.datetime(2024, 1, 1, hour, minute), text)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    b1 = [doc(0, 1, 0, "same content"), doc(1, 1, 10, "other content")]
+    # dup within the 30-minute horizon -> dropped; a far-future doc
+    # advances the watermark past the digest's expiry
+    b2 = [doc(2, 1, 20, "same content"), doc(3, 5, 0, "third content")]
+    # state for "same content" evicted -> re-admitted
+    b3 = [doc(4, 5, 10, "same content")]
+
+    spark.createDataFrame(b1, SCHEMA).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        dedup_exact_stream(stream, ts_col="ts", delay="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, SCHEMA).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        spark.createDataFrame(b3, SCHEMA).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = sorted(int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect())
+    assert 0 in out and 1 in out and 3 in out   # first arrivals emitted
+    assert 2 not in out                          # dup within horizon dropped
+    assert 4 in out                              # re-admitted after eviction
