@@ -277,6 +277,10 @@ def _minhash_sql(n_hashes: int = 4) -> str:
         f"min(({_A[i]} * t.code + {_B[i]}) % {MINHASH_PRIME}) AS sig{i}"
         for i in range(n_hashes)
     )
+    sig_cols = ", ".join(f"s.sig{i}" for i in range(n_hashes))
+    # LEFT JOIN: sub-3-char docs have an EMPTY trigram set, so Spark
+    # emits null signatures for them — the oracle must keep their rows
+    # (with nulls) rather than drop them in the inner join
     return f"""
 WITH {_TRI_NUMBERS},
 tri AS (
@@ -285,8 +289,10 @@ tri AS (
        + ascii(substr(lower(coalesce(d.text, '')), n.i + 1, 1)) * 2097152
        + ascii(substr(lower(coalesce(d.text, '')), n.i + 2, 1)) AS code
   FROM documents d JOIN nums n ON n.i <= length(coalesce(d.text, '')) - 2
-)
-SELECT t.doc_id, {mins} FROM tri t GROUP BY t.doc_id
+),
+sigs AS (SELECT t.doc_id, {mins} FROM tri t GROUP BY t.doc_id)
+SELECT d.doc_id, {sig_cols}
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
 """
 
 
@@ -502,6 +508,18 @@ ORDER BY cosine DESC, s.vec_id LIMIT {k}
 """
 
 
+def _documents_as_index_corpus(d: DataFrame) -> DataFrame:
+    """documents table -> engine corpus shape; the table's doc_id rides
+    in the path ('d%09d') so results map back through doc_stats."""
+    return d.select(
+        F.lit("docs").alias("repo"),
+        F.format_string("d%09d", F.col("doc_id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
 def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP path under the oracle (VERDICT r01 #2): build a real
     posting-list index over the documents corpus and search through
@@ -514,15 +532,7 @@ def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from codebased_spark.plans.engine import build_index
 
-    d = _documents(spark, sf_dir)
-    ident = F.format_string("d%09d", F.col("doc_id"))
-    corpus = d.select(
-        F.lit("docs").alias("repo"),
-        ident.alias("path"),
-        F.lit("0" * 40).alias("commit"),
-        F.lit("text").alias("lang"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
+    corpus = _documents_as_index_corpus(_documents(spark, sf_dir))
     idx_dir = tempfile.mkdtemp(prefix="gate_fts_idx_")
     try:
         index = build_index(spark, corpus, idx_dir, num_blocks=8)
@@ -1040,27 +1050,27 @@ def entry(spark: SparkSession) -> DataFrame:
     conjunction + two-branch merge (VERDICT r02 #5 cosmetic: the
     showcase should be the engine, not the oracle-shaped brute force).
     Metadata joined back per the reference Q4-Q7 path."""
+    import shutil
     import tempfile
 
     from codebased_spark.plans.engine import build_index
 
     sf_dir = "/root/testdata/sf0.001"
-    d = _documents(spark, sf_dir)
-    corpus = d.select(
-        F.lit("docs").alias("repo"),
-        F.format_string("d%09d", F.col("doc_id")).alias("path"),
-        F.lit("0" * 40).alias("commit"),
-        F.lit("text").alias("lang"),
-        F.coalesce(F.col("text"), F.lit("")).alias("content"),
-    )
+    corpus = _documents_as_index_corpus(_documents(spark, sf_dir))
     idx_dir = tempfile.mkdtemp(prefix="entry_fts_idx_")
-    index = build_index(spark, corpus, idx_dir, num_blocks=8)
-    hits = index.search("table merge", 32)
-    return (
-        index.doc_stats.select("doc_id", "path", "name")
-        .join(F.broadcast(hits), "doc_id")
-        .orderBy(F.desc("name_match"), F.desc("score"), F.asc("doc_id"))
-    )
+    try:
+        index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        hits = index.search("table merge", 32)
+        out = (
+            index.doc_stats.select("doc_id", "path", "name")
+            .join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("name_match"), F.desc("score"), F.asc("doc_id"))
+            # materialize before the tmp index dir is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

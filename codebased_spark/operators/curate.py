@@ -71,7 +71,12 @@ def curate_corpus(
     # losing the whole group (ADVICE r02). Exact-dup groups don't need
     # this: identical text fails the gates together. Any doc reaching
     # the prefix check passed its own length gates, so its group has a
-    # passer and prefix_canon is non-null there.
+    # passer and prefix_canon is non-null there. A canon dropped by the
+    # LATER high_punctuation gate can still orphan its group — that is
+    # the documented strict-priority semantics (dedup outranks quality:
+    # the group WAS deduplicated onto its canon; the canon then failing
+    # quality is that representative's own verdict), and the oracle
+    # mirrors it.
     length_ok = (F.col("n_chars") >= min_chars) & (F.col("n_chars") <= max_chars)
     flagged = flagged.withColumn("exact_canon", F.min("doc_id").over(w_d)).withColumn(
         "prefix_canon", F.min(F.when(length_ok, F.col("doc_id"))).over(w_p)

@@ -31,11 +31,16 @@ _B = [2654435769, 2246822519, 3266489917, 668265263,
       15485863, 32452843, 49979687, 67867967,
       86028121, 104395301, 122949823, 141650939]
 
+# Guarded: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being
+# empty, which fabricated a phantom trigram code for sub-3-char docs
+# (code-review r3) — short docs must yield an EMPTY trigram set.
 _TRI_SET = (
-    "array_distinct(transform(sequence(1, greatest(length(lc) - 2, 0)),"
+    "CASE WHEN length(lc) >= 3 THEN "
+    "array_distinct(transform(sequence(1, length(lc) - 2),"
     " i -> ascii(substring(lc, i, 1)) * 4398046511104"
     "    + ascii(substring(lc, i+1, 1)) * 2097152"
-    "    + ascii(substring(lc, i+2, 1))))"
+    "    + ascii(substring(lc, i+2, 1)))) "
+    "ELSE CAST(array() AS array<bigint>) END"
 )
 
 
@@ -131,7 +136,13 @@ def _lsh_bands(docs: DataFrame, text_col: str, n_hashes: int, band_size: int) ->
     practice, unlike Spark's Murmur3 ``F.hash`` which only Spark can
     reproduce. 16 bytes/row of extra shuffle width vs an int bucket is
     noise next to the signature shuffle itself."""
-    sigs = minhash_signatures(docs, text_col, n_hashes)
+    # docs with no trigrams (< 3 chars) have null signatures: MinHash is
+    # undefined on the empty set, so they get NO bands (and thus can
+    # never pair) — matching the SQL oracle, where such docs simply
+    # produce no signature row
+    sigs = minhash_signatures(docs, text_col, n_hashes).filter(
+        F.col("sig0").isNotNull()
+    )
     n_bands = n_hashes // band_size
     return sigs.select(
         "doc_id",

@@ -790,7 +790,7 @@ def search_index_files_batch(
     try:
         # one-job driver finish, same as the single-query tail: pull the
         # emission-pruned candidates once and score every query in numpy
-        rows = cand.limit(DRIVER_FINISH_MAX + 1).collect()
+        rows = _collect_bounded(cand, DRIVER_FINISH_MAX)
         if len(rows) <= DRIVER_FINISH_MAX:
             by_q: dict[int, list] = {}
             for r in rows:
@@ -1002,6 +1002,24 @@ def search_index_files(
 DRIVER_FINISH_MAX = 200_000
 
 
+def _collect_bounded(df, max_rows: int):
+    """limit(max_rows+1).collect() in ONE Spark job. The default
+    incremental-limit execution (1 partition, then scaleUpFactor more,
+    a separate JOB per round) would cost the query tail 2-3 extra
+    scheduling rounds — but raising
+    spark.sql.limit.initialNumPartitions SESSION-wide would turn every
+    ad-hoc df.limit(1) existence probe into a full scan, so the
+    override is scoped to exactly this collect (set/restore)."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        return df.limit(max_rows + 1).collect()
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
     """Scoring tail of a single query: exact phrase df -> idf -> BM25 ->
     two-branch top-k -> union/dedupe/top-k (reference CTE
@@ -1018,7 +1036,7 @@ def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
     never a rescan."""
     cand = cand.persist()
     try:
-        rows = cand.limit(DRIVER_FINISH_MAX + 1).collect()
+        rows = _collect_bounded(cand, DRIVER_FINISH_MAX)
         if len(rows) <= DRIVER_FINISH_MAX:
             return _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty)
         out = _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty)

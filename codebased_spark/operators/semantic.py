@@ -51,11 +51,14 @@ def embed_token_count(text: str) -> int:
     return len(re.findall(r"\w+|[^\w\s]", text or ""))
 
 
-def plan_embed_batches(token_counts) -> tuple[list[list[int]], list[int]]:
+def plan_embed_batches(
+    token_counts, max_doc_tokens: "int | None" = EMBED_MAX_DOC_TOKENS,
+) -> tuple[list[list[int]], list[int]]:
     """Split request indices into embed batches under the reference
     scheduler's exact rules (codebased/index.py:108-121):
 
-    - an item with more than EMBED_MAX_DOC_TOKENS tokens is skipped;
+    - an item with more than ``max_doc_tokens`` tokens is skipped
+      (``None`` disables the skip entirely);
     - before appending, the running batch is flushed if it already has
       EMBED_BATCH_SIZE_LIMIT items OR adding the item would push it
       past EMBED_BATCH_TOKEN_LIMIT tokens (so no batch ever exceeds
@@ -68,7 +71,7 @@ def plan_embed_batches(token_counts) -> tuple[list[list[int]], list[int]]:
     cur_tokens = 0
     for i, t in enumerate(token_counts):
         t = int(t)
-        if t > EMBED_MAX_DOC_TOKENS:
+        if max_doc_tokens is not None and t > max_doc_tokens:
             skipped.append(i)
             continue
         if len(cur) >= EMBED_BATCH_SIZE_LIMIT or cur_tokens + t > EMBED_BATCH_TOKEN_LIMIT:
@@ -129,6 +132,7 @@ def doc_features_cached(
     dim: int = FEATURE_DIM,
     counter=None,
     skip_counter=None,
+    max_tokens: "int | None" = EMBED_MAX_DOC_TOKENS,
 ) -> DataFrame:
     """(doc_id, embedding) with a persistent sha256-keyed cache — the
     reference's embedding cache (codebased/index.py:609-626: content
@@ -144,11 +148,14 @@ def doc_features_cached(
     ``counter`` (an optional Spark accumulator) counts texts actually
     embedded — the test hook proving unchanged docs cost nothing.
     ``skip_counter`` counts documents skipped for exceeding
-    EMBED_MAX_DOC_TOKENS (they get NO embedding row, mirroring the
-    reference scheduler's too_long skip, codebased/index.py:110-112).
-    The embed stage batches under the reference scheduler's exact
-    rules via :func:`plan_embed_batches`, one request at a time per
-    task (= max_concurrent_requests 1 per partition).
+    ``max_tokens`` (they get NO embedding row, mirroring the reference
+    scheduler's too_long skip, codebased/index.py:110-112 — this is a
+    deliberate divergence from :func:`doc_features`, which embeds
+    everything; pass ``max_tokens=None`` for full-coverage parity with
+    the uncached path). The embed stage batches under the reference
+    scheduler's exact rules via :func:`plan_embed_batches`, one
+    request at a time per task (= max_concurrent_requests 1 per
+    partition).
 
     The cache key is (dim, sha256): each dim gets its own subdirectory,
     so changing ``dim`` never serves stale vectors of another width
@@ -179,7 +186,8 @@ def doc_features_cached(
             texts = list(pdf["content"])
             shas = list(pdf["sha256"])
             plan, skipped = plan_embed_batches(
-                [embed_token_count(t) for t in texts]
+                [embed_token_count(t) for t in texts],
+                max_doc_tokens=max_tokens,
             )
             if skip_counter is not None and skipped:
                 skip_counter.add(len(skipped))

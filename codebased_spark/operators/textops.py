@@ -93,13 +93,16 @@ def trigram_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sequence) — reproducible in any ANSI engine, no UDF."""
     # codes are < 2^49 (ASCII), multiplier <= 64 -> x < 2^55; acc stays
     # < 2^61 after each mod, so everything fits in int64 in any engine.
+    # len < 3 guard: Spark's sequence(1, 0) DESCENDS to [1, 0] instead
+    # of being empty — short docs must fingerprint to 0 (code-review r3)
     expr = f"""
+      CASE WHEN length(lc) >= 3 THEN
       aggregate(
-        transform(sequence(1, greatest(length(lc) - 2, 0)),
+        transform(sequence(1, length(lc) - 2),
                   i -> ({_TRI_CODE}) * ((i-1) % 64 + 1)),
         cast(0 as bigint),
         (acc, x) -> (acc + x) % {FINGERPRINT_MOD}
-      )
+      ) ELSE cast(0 as bigint) END
     """
     return (
         docs.withColumn("lc", F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -143,9 +146,12 @@ def trigram_document_frequency(docs: DataFrame, text_col: str = "text") -> DataF
     trigram set per doc, aggregate document frequency per trigram. (The
     posting build in operators/build.py does this inside one UDF pass;
     this variant is the pure-Catalyst cross-check.)"""
+    # len < 3 guard: sequence(1, 0) DESCENDS — short docs have NO trigrams
     tri = F.expr(
-        "array_distinct(transform(sequence(1, greatest(length(lc) - 2, 0)),"
-        " i -> substring(lc, i, 3)))"
+        "CASE WHEN length(lc) >= 3 THEN "
+        "array_distinct(transform(sequence(1, length(lc) - 2),"
+        " i -> substring(lc, i, 3))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     return (
         docs.withColumn("lc", F.lower(F.coalesce(F.col(text_col), F.lit(""))))

@@ -258,12 +258,14 @@ class FtsIndex:
         if not self.posting_files and self.n_docs:
             # store unreachable from pyarrow: per-query generic scans,
             # tagged with qid — slower, never wrong
-            out = None
+            out = self.spark.createDataFrame(
+                [], "qid int, doc_id long, name_match boolean, rank double, score double"
+            )
             for qi, q in enumerate(queries):
-                r = self.search(q, top_k).select(
-                    F.lit(qi).alias("qid"), "doc_id", "name_match", "rank", "score"
-                )
-                out = r if out is None else out.unionAll(r)
+                out = out.unionAll(self.search(q, top_k).select(
+                    F.lit(qi).cast("int").alias("qid"),
+                    "doc_id", "name_match", "rank", "score",
+                ))
             return out
         return search_index_files_batch(
             self.spark, self.posting_files, queries, self.n_docs, self.avgdl,

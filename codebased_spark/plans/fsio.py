@@ -51,15 +51,26 @@ def local_path(path: str) -> str:
     return path
 
 
+# Hadoop connector spellings pyarrow doesn't recognize -> the pyarrow
+# scheme for the same store (same bucket/key namespace, different
+# client): without this an s3a:// index would silently lose the
+# pyarrow fast path (code-review r3).
+_PYARROW_SCHEME_MAP = {"s3a": "s3", "s3n": "s3"}
+
+
 def canonical_uri(path: str) -> str:
-    """Normalize Hadoop's scheme:/path spelling to scheme:///path so
-    pyarrow.fs.FileSystem.from_uri accepts it; RFC-form URIs and plain
-    paths pass through."""
+    """Normalize a URI for pyarrow.fs.FileSystem.from_uri: Hadoop's
+    scheme:/path spelling becomes scheme:///path, and Hadoop-only
+    scheme aliases (s3a/s3n) map to the pyarrow scheme for the same
+    store; RFC-form URIs and plain paths otherwise pass through."""
     scheme = _scheme(path)
-    if scheme and not path.startswith(f"{scheme}://"):
-        rest = path[len(scheme) + 1:]
-        return f"{scheme}:///" + rest.lstrip("/")
-    return path
+    if not scheme:
+        return path
+    rest = path[len(scheme) + 1:]
+    scheme = _PYARROW_SCHEME_MAP.get(scheme, scheme)
+    if rest.startswith("//"):
+        return f"{scheme}:{rest}"
+    return f"{scheme}:///" + rest.lstrip("/")
 
 
 def pyarrow_fs_path(path: str):

@@ -73,12 +73,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # limit().collect() defaults to incremental execution (1 ->
-        # scaleUpFactor partitions, one JOB per round): the query tail's
-        # bounded candidate pull would pay 2-3 extra job rounds of
-        # scheduling latency. Scan all partitions in ONE job instead —
-        # the candidate set is emission-pruned small by construction.
-        .config("spark.sql.limit.initialNumPartitions", "100000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

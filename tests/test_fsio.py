@@ -137,3 +137,38 @@ def test_resume_adopts_manifest_num_blocks(spark, tmp_path):
     }
     assert rebuilt == baseline  # postings rebuilt under the SAME ids
     assert index.search("hello", 10).count() > 0
+
+
+def test_canonical_uri_scheme_mapping():
+    """Hadoop's s3a/s3n spellings map to pyarrow's s3 scheme (the fast
+    path would otherwise silently never engage for s3a indexes), and
+    Hadoop's scheme:/path spelling normalizes to scheme:///path."""
+    from codebased_spark.plans.fsio import canonical_uri
+
+    assert canonical_uri("s3a://bucket/idx/p.parquet") == "s3://bucket/idx/p.parquet"
+    assert canonical_uri("s3n://bucket/k") == "s3://bucket/k"
+    assert canonical_uri("file:/tmp/x") == "file:///tmp/x"
+    assert canonical_uri("file:///tmp/x") == "file:///tmp/x"
+    assert canonical_uri("hdfs://nn:9000/idx") == "hdfs://nn:9000/idx"
+    assert canonical_uri("/tmp/plain") == "/tmp/plain"
+
+
+def test_search_batch_generic_fallback_typed_empty(spark, tmp_path):
+    """When the store is pyarrow-unreachable (posting_files == []), a
+    batch — including an EMPTY one — returns the typed result frame,
+    never None, and per-query results match single search."""
+    from codebased_spark.plans.engine import build_index
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    v = [("r1", "a.py", "c" * 40, "python", 'print("hello world")')]
+    idx = build_index(spark, spark.createDataFrame(v, CORPUS_SCHEMA),
+                      str(tmp_path / "gf"), num_blocks=2)
+    idx.posting_files = []  # simulate a store pyarrow can't reach
+    empty = idx.search_batch([], 5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "qid", "doc_id", "name_match", "rank", "score"]
+    got = {(int(r["qid"]), int(r["doc_id"])) for r in
+           idx.search_batch(["hello world", "zz"], 5).collect()}
+    want = {(0, int(r["doc_id"])) for r in idx.search("hello world", 5).collect()}
+    assert got == want

@@ -504,3 +504,57 @@ def test_repetition_ratios(spark):
     assert got[3] == (0.0, 0.0, 0.0)
     # 4-grams of doc 4: "a b a b", "b a b a", "a b a b" -> 3 total, 2 distinct
     assert got[4] == (0.6, 0.5, round(1 / 3, 6))
+
+
+def test_short_doc_trigram_set_is_empty(spark):
+    """code-review r3: Spark's sequence(1, 0) DESCENDS, which used to
+    fabricate a phantom trigram for sub-3-char docs. Short docs must
+    have an empty trigram set -> simhash 0, null minhash signatures,
+    no LSH bands (hence no pairs), jaccard 0 — matching the SQL
+    oracles, which produce no trigram rows for them."""
+    from codebased_spark.operators.dedup import (
+        jaccard_to_probe,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash64,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "x"), (3, "a normal length document here"),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == 0 and sh[1] == 0 and sh[2] == 0 and sh[4] == 0
+    assert sh[3] != 0
+
+    sigs = {r["doc_id"]: r["sig0"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] is None and sigs[1] is None and sigs[4] is None
+    assert sigs[3] is not None
+
+    # empty/short docs never pair (MinHash undefined on empty sets)
+    assert lsh_candidate_pairs(docs).count() == 0
+
+    jac = {r["doc_id"]: r["jaccard"] for r in jaccard_to_probe(docs, 3).collect()}
+    assert jac[0] == 0.0 and jac[1] == 0.0 and jac[3] == 1.0
+
+
+def test_short_doc_textops_trigrams(spark):
+    """The same sequence(1,0)-descends guard for textops: sub-3-char
+    docs fingerprint to 0 with n_trigrams 0 and contribute no trigram
+    df rows (matching the SQL oracles, which join away short docs)."""
+    from codebased_spark.operators.textops import (
+        trigram_document_frequency,
+        trigram_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "abc")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: (r["fingerprint"], r["n_trigrams"])
+          for r in trigram_fingerprint(docs).collect()}
+    assert fp[0] == (0, 0) and fp[1] == (0, 0)
+    assert fp[2][1] == 1 and fp[2][0] != 0
+
+    tri = {r["trigram"]: r["df"] for r in trigram_document_frequency(docs).collect()}
+    assert tri == {"abc": 1}  # no phantom "ab"/"" trigrams from short docs
