@@ -125,6 +125,23 @@ def main() -> None:
     p50 = lat[len(lat) // 2]
     total = round(time.time() - t0, 3)
 
+    # The session's FIRST-CONTACT official run (captured as the very
+    # first Spark job, before any other load) is the interpretable
+    # record on this monotonically-degrading host (BENCH.md "host
+    # collapse"); embed it so a late-window driver artifact carries
+    # the healthy-window numbers alongside its own.
+    first_contact = {}
+    fc_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_first_contact.json")
+    try:
+        with open(fc_path) as f:
+            fc = json.load(f)
+        if "first_contact" in fc:  # never nest a prior embed
+            fc.pop("first_contact")
+        first_contact = {"first_contact": fc}
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -141,6 +158,7 @@ def main() -> None:
                 "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
                 "cpus": cpus,
                 **hw,
+                **first_contact,
             }
         )
     )
