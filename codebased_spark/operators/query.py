@@ -63,6 +63,8 @@ for multi-trigram phrases is irreducible, and what CAN be pruned is:
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -324,12 +326,26 @@ def _pareto_survivors(tfs, dl, doc_ids, avgdl, top_k, chunk=1024):
     Cost: O(n log n) sort + O(n·(|skyband| + chunk)·p) comparisons —
     monotone in block size; the skyband of a top-k query is O(top_k ·
     polylog n) on non-adversarial data, so big blocks now PRUNE instead
-    of falling back to emit-everything."""
+    of falling back to emit-everything.
+
+    Float-tie soundness (ADVICE r03): a strict dominator's norm SUM can
+    round equal to the dominated doc's, and a doc_id tiebreak alone
+    would then sort the dominator after it (uncounted — conservative
+    but no longer the exact skyband). Ties on the sum therefore break
+    on the full norm vector, column by column, before doc_id: a strict
+    dominator is >= everywhere and > at its first differing column, so
+    it still sorts first. (The sum itself is monotone: both rows sum
+    the same columns through the same addition tree, and float
+    rounding is monotone, so sum(dominator) >= sum(dominated) always —
+    equality is the only hazard, and the vector tiebreak closes it.)"""
     n, p = tfs.shape
     N = np.empty((n, p))
     for i in range(p):
         N[:, i] = _norm_np(tfs[:, i], dl, avgdl)
-    order = np.lexsort((doc_ids, -N.sum(axis=1)))
+    order = np.lexsort(
+        (doc_ids,) + tuple(-N[:, i] for i in range(p - 1, -1, -1))
+        + (-N.sum(axis=1),)
+    )
     keep = np.zeros(n, dtype=bool)
     kept_N = np.empty((0, p))  # norm rows of kept docs, sweep order
     tri_cache: dict[int, np.ndarray] = {}
@@ -782,6 +798,14 @@ def search_index_files_batch(
         return empty
 
     needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
+    # Tail routing on the driver-side candidate bound (VERDICT r03 #2,
+    # same derivation as _tail_bound): when even the optimistic bound
+    # exceeds the cap, go straight to the JVM flat plan with no probe
+    # collect; when the bound is exact (all queries single-phrase) and
+    # under the cap, collect plainly with no limit probe.
+    bound, exact = _tail_bound(
+        len(posting_files), [len(phrases) for _, phrases, _ in parsed], top_k
+    )
     cand = _files_df(spark, posting_files).mapInPandas(
         _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed,
                              deletes_dir, top_k, avgdl),
@@ -790,8 +814,13 @@ def search_index_files_batch(
     try:
         # one-job driver finish, same as the single-query tail: pull the
         # emission-pruned candidates once and score every query in numpy
-        rows = _collect_bounded(cand, DRIVER_FINISH_MAX)
-        if len(rows) <= DRIVER_FINISH_MAX:
+        if bound > DRIVER_FINISH_MAX:
+            rows = None
+        elif exact:
+            rows = cand.collect()
+        else:
+            rows = _collect_bounded(cand, DRIVER_FINISH_MAX)
+        if rows is not None and len(rows) <= DRIVER_FINISH_MAX:
             by_q: dict[int, list] = {}
             for r in rows:
                 by_q.setdefault(int(r["qid"]), []).append(r)
@@ -992,7 +1021,8 @@ def search_index_files(
         _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl),
         CAND2_SCHEMA,
     )
-    return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty)
+    return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty,
+                            n_blocks=len(posting_files))
 
 
 # Above this many candidate rows the scoring tail runs as a JVM plan
@@ -1000,6 +1030,43 @@ def search_index_files(
 # bounds the common case far below it: single-phrase blocks emit at
 # most 2*top_k docs each, multi-phrase blocks their k-skyband.
 DRIVER_FINISH_MAX = 200_000
+
+# Guards the session-conf set/restore in _collect_bounded: two
+# concurrent query tails on one SparkSession must not interleave the
+# override (ADVICE r03 — one could run its limit probe under the
+# other's restored value, or restore the wrong previous value).
+_LIMIT_CONF_LOCK = threading.Lock()
+
+
+def _tail_bound(n_blocks, phrase_counts, top_k):
+    """(upper_bound_on_candidate_rows, is_exact) for the scoring tail,
+    computable driver-side for free BEFORE launching any job (VERDICT
+    r03 #2 — the driver-finish decision must not cost a doomed
+    200k-row probe collect at scale).
+
+    Derivation, per block per query:
+    - kind=0 (df stats): exactly one row per phrase that matches in the
+      block -> <= n_ph rows.
+    - kind=1 (surviving docs), n_ph == 1: emission pruning keeps the
+      union of the two branch top-ks -> <= 2*top_k rows, UNCONDITIONALLY
+      (blocks at or under 2*top_k docs emit themselves; larger blocks
+      are pruned to the union of two top-k lists).
+    - kind=1, n_ph > 1: the exact k-skyband is data-dependent (a block
+      of mutually non-dominating docs emits everything), so no static
+      bound exists. The same shape charged at 4*top_k serves as a
+      ROUTING HEURISTIC only — when even that optimistic estimate
+      exceeds the cap (tens of thousands of blocks), the tail goes
+      straight to the JVM plan; below it, the collect stays
+      limit-guarded because the true skyband may still blow past it.
+
+    exact=True (all queries single-phrase) means the bound is a real
+    guarantee: if it is <= the cap, a plain collect cannot exceed the
+    cap and needs no limit probe at all."""
+    exact = all(p == 1 for p in phrase_counts)
+    per_block = sum(
+        (2 * top_k if p == 1 else 4 * top_k) + p for p in phrase_counts
+    )
+    return n_blocks * per_block, exact
 
 
 def _collect_bounded(df, max_rows: int):
@@ -1009,18 +1076,21 @@ def _collect_bounded(df, max_rows: int):
     scheduling rounds — but raising
     spark.sql.limit.initialNumPartitions SESSION-wide would turn every
     ad-hoc df.limit(1) existence probe into a full scan, so the
-    override is scoped to exactly this collect (set/restore)."""
+    override is scoped to exactly this collect (set/restore), under
+    _LIMIT_CONF_LOCK so concurrent query tails on one session
+    serialize the conf window instead of racing it."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "100000")
-    try:
-        return df.limit(max_rows + 1).collect()
-    finally:
-        spark.conf.set(key, prev)
+    with _LIMIT_CONF_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "100000")
+        try:
+            return df.limit(max_rows + 1).collect()
+        finally:
+            spark.conf.set(key, prev)
 
 
-def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
+def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty, n_blocks=None):
     """Scoring tail of a single query: exact phrase df -> idf -> BM25 ->
     two-branch top-k -> union/dedupe/top-k (reference CTE
     codebased/search.py:240-302).
@@ -1030,10 +1100,31 @@ def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty):
     scoring/merge finishes in numpy — _norm_np and the idf/score
     accumulation mirror the JVM expressions operation-for-operation, so
     results are bit-identical to the JVM plan (pinned by the parity
-    suite, which runs both paths). Candidate sets beyond
-    DRIVER_FINISH_MAX rows (adversarial skybands) fall back to the
-    JVM plan against the SAME persisted candidates — one extra job,
-    never a rescan."""
+    suite, which runs both paths).
+
+    Tail routing when ``n_blocks`` is known (the posting-shard paths):
+    the candidate-row upper bound is computed driver-side via
+    _tail_bound BEFORE any job runs. Bound over DRIVER_FINISH_MAX ->
+    straight to the JVM plan, no probe collect (at 100x scale every
+    query's bound exceeds the cap — collecting 200k rows only to
+    discard them would be a per-query scale tax). Exact bound at or
+    under the cap -> plain collect, no limit probe needed. Otherwise
+    (multi-phrase, heuristic bound under the cap) the collect stays
+    limit-guarded and adversarial skybands fall back to the JVM plan
+    against the SAME persisted candidates — one extra job, never a
+    rescan."""
+    if n_blocks is not None:
+        bound, exact = _tail_bound(n_blocks, [n_ph], top_k)
+        if bound > DRIVER_FINISH_MAX:
+            cand = cand.persist()
+            try:
+                return _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty)
+            finally:
+                cand.unpersist()
+        if exact:
+            return _finish_driver(
+                cand.collect(), n_ph, n_docs, avgdl, top_k, empty
+            )
     cand = cand.persist()
     try:
         rows = _collect_bounded(cand, DRIVER_FINISH_MAX)

@@ -74,7 +74,13 @@ def plan_embed_batches(
         if max_doc_tokens is not None and t > max_doc_tokens:
             skipped.append(i)
             continue
-        if len(cur) >= EMBED_BATCH_SIZE_LIMIT or cur_tokens + t > EMBED_BATCH_TOKEN_LIMIT:
+        # flush only a NON-EMPTY running batch (ADVICE r03: with the
+        # skip disabled, a single item above the token limit would
+        # otherwise emit an empty batch and then ride alone anyway)
+        if cur and (
+            len(cur) >= EMBED_BATCH_SIZE_LIMIT
+            or cur_tokens + t > EMBED_BATCH_TOKEN_LIMIT
+        ):
             batches.append(cur)
             cur = []
             cur_tokens = 0

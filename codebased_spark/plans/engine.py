@@ -107,12 +107,18 @@ def _write_manifest(fs: IndexFS, index_dir: str, stage: str, payload: dict) -> N
 class FtsIndex:
     """A loaded index: handles to the tables + broadcast scalars."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, force_jvm: bool = False):
+    def __init__(self, spark: SparkSession, index_dir: str, force_jvm: bool = False,
+                 force_generic_scan: bool = False):
         # force_jvm: test hook (see fsio.IndexFS) — routes listing
         # through the Hadoop FileSystem API so the URI-returning remote
         # branch is exercisable against Hadoop's LocalFileSystem.
+        # force_generic_scan: opt out of the pyarrow shard fast path for
+        # stores whose credentials live only in Hadoop conf (fs.s3a.*
+        # keys/endpoints are not visible to pyarrow — ADVICE r03); the
+        # generic Spark DataFrame scan then serves every query.
         self.spark = spark
         self.index_dir = index_dir
+        self.force_generic_scan = force_generic_scan
         self.fs = IndexFS(spark, index_dir, force_jvm=force_jvm)
         stats = spark.read.parquet(_join(index_dir, "corpus_stats")).collect()[0]
         version = int(stats.asDict().get("version", 0))
@@ -176,9 +182,12 @@ class FtsIndex:
         pyarrow.fs — the 100-TB deployment's hot path (VERDICT r02 #2:
         remote indexes previously fell back to the generic DataFrame
         scan, ~5-10x more read work per query). Returns [] (generic
-        fallback) only for stores pyarrow cannot reach."""
+        fallback) for stores pyarrow cannot reach, and always when the
+        index was opened with force_generic_scan."""
         from codebased_spark.plans.fsio import canonical_uri, pyarrow_fs_path
 
+        if self.force_generic_scan:
+            return []
         base = _join(self.index_dir, "postings")
         scheme = "" if is_local(self.index_dir) else "remote"
         if self.index_dir.startswith("file:"):
@@ -205,8 +214,20 @@ class FtsIndex:
                 out.append((pb, canonical_uri(path)))
         out.sort()
         if out and scheme != "":
+            # Reachability probe with a REAL metadata call (ADVICE r03):
+            # constructing an S3FileSystem succeeds even with no valid
+            # credentials (Hadoop's fs.s3a.* conf is invisible to
+            # pyarrow), so a bare from_uri() would pick the fast path
+            # and then fail at task read time with no fallback. A HEAD
+            # on the first shard proves tasks can actually read.
             try:
-                pyarrow_fs_path(out[0][1])
+                from pyarrow import fs as pafs
+
+                afs, real = pyarrow_fs_path(out[0][1])
+                if afs is not None:
+                    info = afs.get_file_info([real])[0]
+                    if info.type == pafs.FileType.NotFound:
+                        return []
             except Exception:
                 return []  # store unreachable from pyarrow -> generic scan
         return out

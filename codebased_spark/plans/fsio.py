@@ -43,10 +43,21 @@ def is_local(path: str) -> bool:
 
 
 def local_path(path: str) -> str:
-    """Strip a file: scheme (file:///x, file://x, or Hadoop's file:/x);
-    identity for plain paths."""
+    """Strip a file: scheme (file:///x, or Hadoop's file:/x); identity
+    for plain paths. A file:// URI with a non-empty authority other
+    than localhost (file://host/p) names a REMOTE host — folding the
+    host into the path would silently read the wrong local file
+    (ADVICE r03), so it is rejected."""
     if _scheme(path) == "file":
         rest = path[len("file:"):]
+        if rest.startswith("//"):
+            authority, _, tail = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                raise ValueError(
+                    f"file URI names remote authority {authority!r}, "
+                    f"not a local path: {path}"
+                )
+            return "/" + tail.lstrip("/")
         return "/" + rest.lstrip("/")
     return path
 

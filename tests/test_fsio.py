@@ -172,3 +172,77 @@ def test_search_batch_generic_fallback_typed_empty(spark, tmp_path):
            idx.search_batch(["hello world", "zz"], 5).collect()}
     want = {(0, int(r["doc_id"])) for r in idx.search("hello world", 5).collect()}
     assert got == want
+
+
+def test_local_path_authority_handling():
+    """ADVICE r03 (fsio.py:45): file://host/p names a REMOTE host — it
+    must be rejected, not silently folded into the local path; empty
+    and localhost authorities stay valid."""
+    assert local_path("file://localhost/tmp/x") == "/tmp/x"
+    assert local_path("file:/tmp/x") == "/tmp/x"
+    assert local_path("file:///tmp/x") == "/tmp/x"
+    with pytest.raises(ValueError, match="remote authority"):
+        local_path("file://otherhost/tmp/x")
+
+
+def test_force_generic_scan_option(spark, tmp_path):
+    """ADVICE r03 (engine.py:209): stores whose credentials live only
+    in Hadoop conf can force the generic DataFrame scan; results match
+    the fast path exactly."""
+    from codebased_spark.plans.engine import FtsIndex, build_index
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = [
+        ("r1", "a.py", "c" * 40, "python", 'print("hello world")'),
+        ("r1", "b.py", "c" * 40, "python", "goodbye cruel world"),
+    ]
+    idx = str(tmp_path / "fgs_idx")
+    build_index(spark, spark.createDataFrame(rows, CORPUS_SCHEMA), idx, num_blocks=2)
+
+    fast = FtsIndex(spark, idx)
+    assert fast.posting_files
+    slow = FtsIndex(spark, idx, force_generic_scan=True)
+    assert slow.posting_files == []  # generic scan serves every query
+
+    for q in ["hello world", "world"]:
+        want = [(int(r["doc_id"]), round(float(r["score"]), 12))
+                for r in fast.search(q, 10).collect()]
+        got = [(int(r["doc_id"]), round(float(r["score"]), 12))
+               for r in slow.search(q, 10).collect()]
+        assert got == want and want, q
+
+
+def test_remote_probe_requires_readable_shard(spark, tmp_path, monkeypatch):
+    """ADVICE r03 (engine.py:209): the fast-path probe must make a real
+    metadata call — a filesystem that constructs fine but cannot see
+    the shard (S3 with Hadoop-only credentials) must fall back to the
+    generic scan instead of failing at task read time."""
+    from codebased_spark.plans import engine as eng
+    from codebased_spark.plans import fsio
+    from codebased_spark.plans.engine import FtsIndex, build_index
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    rows = [("r1", "a.py", "c" * 40, "python", 'print("hello world")')]
+    idx = str(tmp_path / "probe_idx")
+    build_index(spark, spark.createDataFrame(rows, CORPUS_SCHEMA), idx, num_blocks=2)
+
+    class _BlindFS:
+        """Constructs fine (like pyarrow S3FileSystem with no creds)
+        but sees nothing on metadata calls."""
+
+        def get_file_info(self, paths):
+            from pyarrow import fs as pafs
+
+            return [pafs.FileInfo(p, type=pafs.FileType.NotFound) for p in paths]
+
+    def blind(path):
+        return _BlindFS(), fsio.local_path(fsio.canonical_uri(path))
+
+    monkeypatch.setattr(eng, "pyarrow_fs_path", blind, raising=False)
+    monkeypatch.setattr(fsio, "pyarrow_fs_path", blind)
+    blinded = FtsIndex(spark, "file://" + idx)
+    assert blinded.posting_files == []  # probe rejected the unreadable store
+
+    # sanity: the REAL pyarrow fs still passes the metadata probe
+    monkeypatch.undo()
+    assert FtsIndex(spark, "file://" + idx).posting_files

@@ -522,3 +522,142 @@ def test_multiphrase_pareto_pruning_exact(spark, tmp_path, query, top_k):
     got = [(r["doc_id"], r["name_match"], round(r["score"], 12))
            for r in index.search(query, top_k).collect()]
     assert got == want
+
+
+def test_tail_bound_routing(spark, built, monkeypatch):
+    """VERDICT r03 #2: the driver-finish decision is made from the
+    computable candidate bound, never from a doomed probe collect.
+
+    - bound > DRIVER_FINISH_MAX  -> straight to the JVM tail, ZERO
+      calls to _collect_bounded (the old 200k-row collect-then-discard);
+    - single-phrase (exact bound <= cap) -> plain collect, also zero
+      _collect_bounded calls;
+    - multi-phrase under the cap -> the limit-guarded collect runs
+      (the skyband is data-dependent, the guard must stay)."""
+    import codebased_spark.operators.query as q
+
+    index, _ = built
+    single, multi = '"world"', "code hello"
+    want = {qq: [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+                 for r in index.search(qq, 10).collect()]
+            for qq in (single, multi)}
+    want_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in index.search_batch([single, multi], 10).collect()
+    )
+    assert want[single] and want[multi]
+
+    calls = []
+    real = q._collect_bounded
+    monkeypatch.setattr(
+        q, "_collect_bounded", lambda df, m: calls.append(m) or real(df, m)
+    )
+
+    # route 1: bound exceeds the cap -> JVM tail, no probe collect
+    index._search_cache.clear()
+    monkeypatch.setattr(q, "DRIVER_FINISH_MAX", 0)
+    for qq in (single, multi):
+        got = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+               for r in index.search(qq, 10).collect()]
+        assert got == want[qq], qq
+    got_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in index.search_batch([single, multi], 10).collect()
+    )
+    assert got_b == want_b
+    assert calls == []  # the scale-killer: no collect-then-discard
+
+    # route 2: exact single-phrase bound under the cap -> plain collect
+    index._search_cache.clear()
+    monkeypatch.setattr(q, "DRIVER_FINISH_MAX", 200_000)
+    got = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+           for r in index.search(single, 10).collect()]
+    assert got == want[single]
+    assert calls == []  # exact bound needs no limit probe either
+
+    # route 3: multi-phrase under the cap -> guarded collect runs
+    got = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+           for r in index.search(multi, 10).collect()]
+    assert got == want[multi]
+    assert calls == [200_000]
+    index._search_cache.clear()
+
+
+def test_tail_bound_derivation():
+    """_tail_bound mirrors the per-block emission guarantees: n_ph
+    kind=0 rows + 2*top_k (single-phrase, exact) or 4*top_k heuristic
+    (multi-phrase) kind=1 rows, times the block count."""
+    from codebased_spark.operators.query import _tail_bound
+
+    assert _tail_bound(100, [1], 32) == (100 * (2 * 32 + 1), True)
+    assert _tail_bound(10, [3], 32) == (10 * (4 * 32 + 3), False)
+    assert _tail_bound(5, [1, 2], 32) == (
+        5 * ((2 * 32 + 1) + (4 * 32 + 2)), False)
+    # the gate at scale: 40k blocks of a single-phrase query exceed the
+    # 200k cap -> the tail must go straight to the JVM plan
+    bound, exact = _tail_bound(40_000, [1], 32)
+    assert exact and bound > 200_000
+
+
+def test_concurrent_searches_one_session(spark, built):
+    """VERDICT r03 #6: two query tails racing on one SparkSession must
+    not corrupt each other via the scoped limit-conf override (now
+    lock-guarded) — results stay deterministic and the session conf is
+    restored."""
+    import threading
+
+    index, _ = built
+    key = "spark.sql.limit.initialNumPartitions"
+    before = spark.conf.get(key)
+    queries = ["code hello", "hello world how", "Server started", "table aa"]
+    want = {}
+    for qq in queries:
+        want[qq] = [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+                    for r in index.search(qq, 10).collect()]
+        index._search_cache.clear()
+
+    errs = []
+
+    def run(qq):
+        try:
+            for _ in range(3):
+                got = [
+                    (int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+                    for r in index.search(qq, 10).collect()
+                ]
+                assert got == want[qq], qq
+                index._search_cache.clear()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append((qq, e))
+
+    threads = [threading.Thread(target=run, args=(qq,)) for qq in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get(key) == before
+
+
+def test_pareto_skyband_float_sum_tie(monkeypatch):
+    """ADVICE r03 (query.py:295): a strict dominator whose float norm
+    SUM rounds equal to the dominated doc's — and whose doc_id is
+    larger — must still be counted. The sweep order now breaks sum
+    ties on the full norm vector before doc_id."""
+    import numpy as np
+
+    import codebased_spark.operators.query as q
+
+    # inject exact norms: norm := tf / 2.0
+    monkeypatch.setattr(
+        q, "_norm_np", lambda tf, dl, avgdl: np.asarray(tf, dtype=np.float64) / 2.0
+    )
+    big = 2 * 10 ** 16  # -> norm 1e16, where float64 spacing is 2.0
+    # doc 1 = (1e16, 0.5); doc 2 = (1e16, 1.0) strictly dominates doc 1,
+    # both sums round to exactly 1e16; dominator has the LARGER doc_id
+    tfs = np.array([[big, 1], [big, 2]], dtype=np.int64)
+    dl = np.array([1, 1], dtype=np.int64)
+    doc_ids = np.array([1, 2], dtype=np.int64)
+    assert float(1e16 + 0.5) == float(1e16 + 1.0) == 1e16  # the tie is real
+    keep = q._pareto_survivors(tfs, dl, doc_ids, 1.0, 1)
+    assert list(keep) == [False, True]  # dominated doc dropped: exact 1-skyband

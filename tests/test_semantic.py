@@ -215,3 +215,25 @@ def test_rerank_contract():
     assert [r["doc_id"] for r in out] == [3, 1]  # 99 skipped, dup ignored, 0/2/4 culled
     assert apply_rerank(results, []) == []
     assert apply_rerank([], [1, 2]) == []
+
+
+def test_plan_embed_batches_no_empty_batch_when_skip_disabled():
+    """ADVICE r03 (semantic.py:77): with the over-length skip disabled
+    (max_doc_tokens=None), a first item alone above the 400k token
+    limit must not emit an empty leading batch; every batch is
+    non-empty and order/coverage are preserved."""
+    from codebased_spark.operators.semantic import (
+        EMBED_BATCH_TOKEN_LIMIT,
+        plan_embed_batches,
+    )
+
+    giant = EMBED_BATCH_TOKEN_LIMIT + 1
+    b, s = plan_embed_batches([giant, 5, 7], max_doc_tokens=None)
+    assert s == []
+    assert all(batch for batch in b)  # no empty batches
+    assert [i for batch in b for i in batch] == [0, 1, 2]
+    assert b[0] == [0]  # the giant rides alone, then the rest batch up
+
+    # two consecutive giants: each alone, still no empties
+    b, s = plan_embed_batches([giant, giant], max_doc_tokens=None)
+    assert b == [[0], [1]] and s == []
