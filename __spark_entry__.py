@@ -740,6 +740,33 @@ FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_dup_ngram_spans_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_ngram_spans in key='digest' mode (VERDICT r03 #5):
+    groups on md5(ngram) with the span text dropped pre-shuffle — the
+    32-hex key bounds shuffle width at 10^12-file scale. Oracled via
+    DuckDB's md5() over the same spans; counts must be identical to
+    the text-keyed entry."""
+    from codebased_spark.operators.trainprep import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(
+        _documents(spark, sf_dir), n=8, min_docs=2, key="digest")
+
+
+DUP_NGRAM_DIGEST_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(coalesce(text, '')), ' +') AS words
+  FROM documents
+),
+nums AS (SELECT unnest(range(1, 1 + (SELECT max(len(words)) FROM w))) AS i),
+g AS (
+  SELECT w.doc_id, md5(array_to_string(w.words[n.i:n.i + 7], ' ')) AS ngram_md5
+  FROM w JOIN nums n ON n.i <= len(w.words) - 7
+)
+SELECT ngram_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM g GROUP BY ngram_md5 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test contamination: overlap of each doc's distinct 8-grams
     with a 'benchmark' probe set (docs 0-9 stand in for one)."""
@@ -747,6 +774,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _documents(spark, sf_dir)
     return benchmark_contamination(d, d.filter(F.col("doc_id") < 10), n=8)
+
+
+def q_contamination_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark_contamination in key='digest' mode: the semi-join runs
+    on md5(ngram) with text dropped before the broadcast — same output
+    schema and values as the text-keyed entry (checked by the SAME
+    oracle SQL: the digest join changes bytes moved, not results)."""
+    from codebased_spark.operators.trainprep import benchmark_contamination
+
+    d = _documents(spark, sf_dir)
+    return benchmark_contamination(
+        d, d.filter(F.col("doc_id") < 10), n=8, key="digest")
 
 
 CONTAMINATION_SQL = """
@@ -878,23 +917,148 @@ FROM b
 """
 
 
+# The media gate tables live OUTSIDE the driver's sf dirs (the media
+# table is engine-defined), but both engines must read the SAME bytes
+# for a value oracle to mean anything (VERDICT r03 #4) — so the gate
+# materializes them to fixed parquet paths with pure pyarrow (no
+# Spark), idempotently, from both queries() callables AND oracle_sql().
+_GATE_MEDIA_PATH = "/tmp/codebased_spark_gate_media_s11_n200.parquet"
+_GATE_PROJ_PATH = "/tmp/codebased_spark_gate_proj_256x64.parquet"
+
+
+def _ensure_media_gate_files() -> None:
+    """Write (once) the deterministic media table — byte-identical to
+    multimodal.gen_media(spark, 200, seed=11), pinned by test — and
+    media_features' projection matrix as (b, d, w) rows."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(_GATE_MEDIA_PATH):
+        rows = []
+        for i in range(200):
+            h = hashlib.sha256(f"11:{i}".encode()).digest()
+            kind = ("image", "audio", "video")[h[0] % 3]
+            payload = hashlib.sha256(h).digest() * (4 + h[1] % 8)
+            if kind == "image":
+                w, hh, c, sr, nf = 8 + h[2] % 56, 8 + h[3] % 56, 3, 0, 1
+            elif kind == "audio":
+                w, hh, c, sr, nf = 0, 0, 1, 16000, 0
+            else:
+                w, hh, c, sr, nf = 16, 16, 3, 0, 2 + h[4] % 14
+            rows.append((i, kind, payload, w, hh, c, sr, nf))
+        tbl = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "kind": pa.array([r[1] for r in rows], pa.string()),
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+                "width": pa.array([r[3] for r in rows], pa.int32()),
+                "height": pa.array([r[4] for r in rows], pa.int32()),
+                "channels": pa.array([r[5] for r in rows], pa.int32()),
+                "sample_rate": pa.array([r[6] for r in rows], pa.int32()),
+                "n_frames": pa.array([r[7] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, _GATE_MEDIA_PATH + ".tmp")
+        os.replace(_GATE_MEDIA_PATH + ".tmp", _GATE_MEDIA_PATH)
+
+    if not os.path.exists(_GATE_PROJ_PATH):
+        rng = np.random.RandomState(12345)  # = media_features' seed
+        proj = rng.standard_normal((256, 64)).astype(np.float32)
+        proj = proj.astype(np.float64)  # exact float32 values, as doubles
+        bs, ds = np.meshgrid(np.arange(256), np.arange(64), indexing="ij")
+        tbl = pa.table(
+            {
+                "b": pa.array(bs.ravel(), pa.int32()),
+                "d": pa.array(ds.ravel(), pa.int32()),
+                "w": pa.array(proj.ravel(), pa.float64()),
+            }
+        )
+        pq.write_table(tbl, _GATE_PROJ_PATH + ".tmp")
+        os.replace(_GATE_PROJ_PATH + ".tmp", _GATE_PROJ_PATH)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic synthetic media table ->
-    binary-payload feature extraction -> exact cosine top-10 (rows-only:
-    the media table is engine-synthesized, not a DuckDB view)."""
-    from codebased_spark.operators.multimodal import gen_media, media_features
+    """Multimodal plumbing: deterministic media table (persisted so
+    DuckDB reads the same bytes) -> binary-payload feature extraction
+    (byte histogram x float64 projection) -> exact cosine top-10. Fully
+    oracled as of r4: the SQL recomputes the whole chain from the
+    payload bytes."""
+    from codebased_spark.operators.multimodal import media_features
     from codebased_spark.operators.simsearch import cosine_topk
 
-    feats = media_features(gen_media(spark, 200, seed=11))
+    _ensure_media_gate_files()
+    feats = media_features(spark.read.parquet(_GATE_MEDIA_PATH))
     return cosine_topk(feats, probe_vec_id=0, k=10)
 
 
-def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from codebased_spark.operators.multimodal import gen_media, sample_video_frames
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS plen
+  FROM read_parquet('{_GATE_MEDIA_PATH}')
+),
+nums AS (SELECT unnest(range(0, (SELECT max(plen) FROM m))) AS i),
+bytes AS (
+  SELECT m.media_id,
+         CAST(('0x' || substr(m.hx, 2 * n.i + 1, 2)) AS INT) AS b
+  FROM m JOIN nums n ON n.i < m.plen
+),
+hist AS (
+  SELECT media_id, b, count(*)::DOUBLE AS cnt FROM bytes GROUP BY 1, 2
+),
+tot AS (SELECT media_id, sum(cnt) AS total FROM hist GROUP BY 1),
+feat AS (
+  SELECT h.media_id, p.d, sum((h.cnt / t.total) * p.w) AS v
+  FROM hist h
+  JOIN tot t USING (media_id)
+  JOIN read_parquet('{_GATE_PROJ_PATH}') p ON p.b = h.b
+  GROUP BY 1, 2
+),
+probe AS (SELECT d, v FROM feat WHERE media_id = 0),
+pn AS (SELECT sqrt(sum(v * v)) AS npr FROM probe),
+dots AS (
+  SELECT f.media_id,
+         sum(f.v * p.v) AS dp,
+         sqrt(sum(f.v * f.v)) AS nf
+  FROM feat f JOIN probe p USING (d)
+  GROUP BY 1
+)
+SELECT d.media_id AS vec_id, round(d.dp / (d.nf * pn.npr), 6) AS cosine
+FROM dots d, pn
+WHERE d.media_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
-    return sample_video_frames(gen_media(spark, 200, seed=11), every_n=2).select(
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the persisted media table: payload sliced
+    into n_frames spans of floor(len/n_frames) bytes, every 2nd frame
+    emitted. Fully oracled as of r4 (stride arithmetic in SQL)."""
+    from codebased_spark.operators.multimodal import sample_video_frames
+
+    _ensure_media_gate_files()
+    media = spark.read.parquet(_GATE_MEDIA_PATH)
+    return sample_video_frames(media, every_n=2).select(
         "media_id", "frame_no", F.length("frame_payload").alias("frame_bytes")
     )
+
+
+VIDEO_FRAMES_SQL = f"""
+WITH m AS (
+  SELECT media_id, octet_length(payload) AS plen, n_frames,
+         greatest(octet_length(payload) // n_frames, 1) AS per
+  FROM read_parquet('{_GATE_MEDIA_PATH}')
+  WHERE kind = 'video' AND n_frames > 0
+)
+SELECT m.media_id,
+       f.f::INT AS frame_no,
+       (least(m.plen, (f.f + 1) * m.per) - least(m.plen, f.f * m.per))::INT
+         AS frame_bytes
+FROM m, unnest(range(0, m.n_frames, 2)) AS f(f)
+"""
 
 
 def q_identifier_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,8 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash,
         "lsh_candidate_pairs": q_lsh_pairs,
         "ann_topk_lsh": q_ann_lsh,
-        "media_features_cosine": q_media_features,  # rows-only (synthetic media)
-        "video_frame_sample": q_video_frame_sample,  # rows-only
+        "media_features_cosine": q_media_features,
+        "video_frame_sample": q_video_frame_sample,
         "change_detection": q_change_detection,
         "identifier_split": q_identifier_split,
         "events_windowed_agg": q_events_windowed_agg,
@@ -1106,7 +1270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_ivf,
         "windowed_event_counts": q_windowed_counts,
         "duplicate_ngram_spans": q_dup_ngram_spans,
+        "duplicate_ngram_spans_digest": q_dup_ngram_spans_digest,
         "benchmark_contamination": q_contamination,
+        "benchmark_contamination_digest": q_contamination_digest,
         "pii_scrub": q_pii_scrub,
         "dataset_split": q_dataset_split,
         "repetition_ratios": q_repetition,
@@ -1114,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the media oracles read fixed parquet paths — make sure they exist
+    # even if the harness runs SQL before (or without) the Spark query
+    _ensure_media_gate_files()
     return {
         "fts_bm25_conjunctive": _bm25_sql(["table", "merge"], named=False, top_k=K_ALL),
         "fts_bm25_phrase": _bm25_sql(["fast table"], named=False, top_k=K_ALL),
@@ -1147,10 +1316,17 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "duplicate_ngram_spans": DUP_NGRAM_SQL,
+        "duplicate_ngram_spans_digest": DUP_NGRAM_DIGEST_SQL,
         "benchmark_contamination": CONTAMINATION_SQL,
+        # digest mode changes shuffle bytes, not values — same oracle
+        "benchmark_contamination_digest": CONTAMINATION_SQL,
         "pii_scrub": PII_SQL,
         "dataset_split": DATASET_SPLIT_SQL,
         "repetition_ratios": REPETITION_SQL,
-        # media_features_cosine / video_frame_sample stay rows-only: the
-        # media table is engine-synthesized (no DuckDB view exists).
+        # r4: the media entries are fully oracled — the gate persists
+        # the deterministic media table + projection to parquet so
+        # DuckDB recomputes the byte-histogram features, cosine top-10,
+        # and frame-stride arithmetic from the same bytes.
+        "media_features_cosine": MEDIA_FEATURES_SQL,
+        "video_frame_sample": VIDEO_FRAMES_SQL,
     }

@@ -112,10 +112,16 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
 
 
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Payload -> fixed-dim float feature vector (byte-histogram + a
+    """Payload -> fixed-dim feature vector (byte-histogram + a
     deterministic projection). Purely real plumbing: the output feeds
-    simsearch.cosine_topk / ann_topk_lsh directly (array<float> column,
-    same shape as the embeddings table)."""
+    simsearch.cosine_topk / ann_topk_lsh directly (same shape as the
+    embeddings table). The projection weights are float32 draws (their
+    double values are exactly representable) but the accumulation runs
+    in float64, so any double-math SQL engine reproduces the features
+    to rounding — the gate's DuckDB oracle recomputes the full
+    histogram->projection->cosine chain (r4; previously rows-only). At
+    storage-bound scale, cast the output to array<float> at the sink —
+    halves the bytes, doesn't change neighbors."""
 
     def batches(it):
         proj = None
@@ -123,15 +129,16 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             if proj is None:
                 rng = np.random.RandomState(12345)  # fixed, not wall-clock
                 proj = rng.standard_normal((256, dim)).astype(np.float32)
+                proj = proj.astype(np.float64)
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b, minlength=256).astype(np.float32)
+                hist = np.bincount(b, minlength=256).astype(np.float64)
                 hist /= max(float(hist.sum()), 1.0)
                 out.append((int(mid), (hist @ proj).tolist()))
             yield pd.DataFrame(out, columns=["vec_id", "embedding"])
 
-    return media.mapInPandas(batches, "vec_id long, embedding array<float>")
+    return media.mapInPandas(batches, "vec_id long, embedding array<double>")
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:

@@ -1,0 +1,232 @@
+"""Hot-phrase document-frequency side table (the multi-trigram latency
+lever — VERDICT r03 #9).
+
+FTS5's idf uses the EXACT phrase document frequency, so a multi-trigram
+phrase must be position-verified everywhere just to learn its df before
+any score exists (operators/query.py module docstring, "Top-k
+pruning"). Build-time df for ARBITRARY phrases is impossible, but real
+query traffic is Zipfian: a small set of hot phrases (mined from query
+logs, or :func:`hot_phrases_from_corpus` as a stand-in) covers most
+multi-trigram latency. This module materializes their exact per-branch
+dfs next to the index:
+
+- :func:`build_phrase_df`: one stats-only job over the posting shards
+  (same block machinery as search, tombstones honored) writes
+  ``<index>/phrase_df/`` parquet plus a generation-fingerprint manifest.
+- :class:`~codebased_spark.plans.engine.FtsIndex` loads the table when
+  its fingerprint matches the live corpus_stats; a query whose EVERY
+  phrase is covered skips df verification and tightens emission: with
+  every idf known in-task, multi-phrase blocks emit their exact branch
+  top-k (<= 2*top_k rows) instead of the k-skyband, the blocks emit no
+  df-stat rows at all, and the driver tail's candidate bound becomes
+  exact (plain collect, no limit probe — operators/query._tail_bound).
+- Any incremental commit DELETES the table (dfs change with the
+  corpus — streaming/incremental.incremental_update); rebuild it from
+  the same phrase list afterwards. Compaction swaps the whole index
+  dir, which drops it too.
+
+Scores are bit-identical with or without the table: the stored dfs
+equal the stats the blocks would have emitted (pinned by test), and the
+in-task rank pipeline reuses _norm_np with _finish_rows' accumulation
+order, so emission decisions agree with the driver's final ranking
+bit-for-bit.
+
+No reference counterpart: codebased's SQLite FTS5 recomputes phrase df
+per query inside the C extension (fts5 aux API); this table is purely
+a distributed-scale latency lever.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codebased_spark.functions.fts5 import casefold, phrase_terms
+
+PHRASE_DF_DIR = "phrase_df"
+PHRASE_DF_MANIFEST = "phrase_df"
+
+
+def hot_phrases_from_corpus(
+    corpus: DataFrame, top_n: int = 64, text_col: str = "content"
+) -> list[str]:
+    """Stand-in for query-log mining: the ``top_n`` most frequent
+    case-folded word bigrams of the corpus (one groupBy; phrases under
+    3 chars — untrigrammable — are dropped). Real deployments should
+    feed :func:`build_phrase_df` their query log's hot phrases
+    instead; this helper exists so the table can be bootstrapped
+    before any traffic arrives."""
+    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = (
+        corpus.select(F.explode(bigrams).alias("phrase"))
+        .filter(F.length("phrase") >= 3)
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(top_n)
+        .collect()
+    )
+    return [r["phrase"] for r in rows]
+
+
+def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
+    """mapInPandas over (pblock, path) shard rows -> one (phrase_idx,
+    df_all, df_name) row per phrase per block, via the same
+    _query_block_frames machinery queries use (stats only; the doc
+    frames are discarded — this is a build-time job)."""
+    from codebased_spark.operators.query import (
+        _POSTING_READ_COLUMNS,
+        _Row,
+        _load_block_tombstones,
+        _pa_read_table,
+        _query_block_frames,
+    )
+
+    def fn(it):
+        tomb_cache: dict = {}
+        fs_cache: dict = {}
+        for pdf in it:
+            for pblock, path in zip(pdf["pblock"], pdf["path"]):
+                tbl = _pa_read_table(
+                    path, fs_cache, filters=[("term", "in", list(needed))],
+                    columns=_POSTING_READ_COLUMNS,
+                )
+                if tbl.num_rows == 0:
+                    continue
+                block = tbl.to_pandas()
+                rows = {
+                    (int(r["term"]), int(r["col"])): _Row(r)
+                    for _, r in block.iterrows()
+                }
+                deleted = _load_block_tombstones(
+                    deletes_dir, pblock, tomb_cache, fs_cache
+                )
+                out = []
+                for pi, terms in enumerate(phrases_terms):
+                    stats, _frame = _query_block_frames(rows, [terms], deleted)
+                    for _zero, da, dn in stats:
+                        out.append((pi, da, dn))
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=["phrase_idx", "df_all", "df_name"])
+
+    return fn
+
+
+def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
+    """Materialize exact (df_all, df_name) for ``phrases`` under
+    ``index.index_dir/phrase_df/`` and return the loaded dict. Phrases
+    are case-folded; sub-3-char phrases are stored with df 0 (they can
+    never match — trigram semantics). The manifest records the live
+    (n_docs, total_dl) fingerprint; FtsIndex refuses a stale table."""
+    from codebased_spark.operators.query import _files_df
+    from codebased_spark.plans.engine import FORMAT_VERSION, _join
+
+    folded = []
+    seen = set()
+    for p in phrases:
+        fp = casefold(p)
+        if fp and fp not in seen:
+            seen.add(fp)
+            folded.append(fp)
+
+    counts = {p: [0, 0] for p in folded}
+    term_lists = [(p, phrase_terms(p)) for p in folded if len(p) >= 3]
+    if term_lists and index.n_docs:
+        pts = [ts for _, ts in term_lists]
+        needed = sorted({int(t) for ts in pts for t in ts})
+        if index.posting_files:
+            stats = (
+                _files_df(spark, index.posting_files)
+                .mapInPandas(
+                    _phrase_stats_fn(pts, needed, index._task_deletes_dir()),
+                    "phrase_idx int, df_all long, df_name long",
+                )
+                .groupBy("phrase_idx")
+                .agg(F.sum("df_all").alias("da"), F.sum("df_name").alias("dn"))
+                .collect()
+            )
+        else:
+            # generic-store fallback: the DataFrame posting scan feeds
+            # the same stats machinery through applyInPandas per pblock
+            from codebased_spark.operators.query import (
+                _block_candidates_pdf,
+            )
+
+            pruned = index.postings.filter(
+                F.col("term").isin([int(t) for t in needed]))
+            deleted = index.deleted
+
+            def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = []
+                for pi, terms in enumerate(pts):
+                    cand = _block_candidates_pdf(pdf, [terms], deleted)
+                    s = cand[cand["kind"] == 0]
+                    for _, r in s.iterrows():
+                        out.append((pi, int(r["df_all"]), int(r["df_name"])))
+                return pd.DataFrame(
+                    out, columns=["phrase_idx", "df_all", "df_name"])
+
+            stats = (
+                pruned.groupBy("pblock")
+                .applyInPandas(
+                    per_block, "phrase_idx int, df_all long, df_name long")
+                .groupBy("phrase_idx")
+                .agg(F.sum("df_all").alias("da"), F.sum("df_name").alias("dn"))
+                .collect()
+            )
+        for r in stats:
+            p = term_lists[int(r["phrase_idx"])][0]
+            counts[p] = [int(r["da"]), int(r["dn"])]
+
+    table_rows = [(p, counts[p][0], counts[p][1]) for p in folded]
+    out_dir = _join(index.index_dir, PHRASE_DF_DIR)
+    index.fs.delete(out_dir)
+    spark.createDataFrame(
+        table_rows, "phrase string, df_all long, df_name long"
+    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    index.fs.write_json(
+        _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"),
+        {
+            "stage": PHRASE_DF_MANIFEST,
+            "version": FORMAT_VERSION,
+            "n_docs": index.n_docs,
+            "total_dl": index.total_dl,
+            "n_phrases": len(table_rows),
+        },
+    )
+    loaded = {p: (da, dn) for p, da, dn in table_rows}
+    index.phrase_dfs = loaded
+    return loaded
+
+
+def load_phrase_df(spark: SparkSession, index) -> dict:
+    """The phrase-df dict for ``index``, or {} when absent or STALE
+    (fingerprint mismatch — the corpus changed since the table was
+    built, so its dfs would silently corrupt idf)."""
+    from codebased_spark.plans.engine import FORMAT_VERSION, _join
+
+    man_path = _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json")
+    if not index.fs.exists(man_path):
+        return {}
+    try:
+        man = index.fs.read_json(man_path)
+    except Exception:
+        return {}
+    if (
+        int(man.get("version", -1)) != FORMAT_VERSION
+        or int(man.get("n_docs", -1)) != index.n_docs
+        or int(man.get("total_dl", -1)) != index.total_dl
+    ):
+        return {}
+    rows = spark.read.parquet(_join(index.index_dir, PHRASE_DF_DIR)).collect()
+    return {r["phrase"]: (int(r["df_all"]), int(r["df_name"])) for r in rows}

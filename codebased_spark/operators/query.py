@@ -113,7 +113,7 @@ class _Row:
     list O(|rare| * chunk) instead of O(|huge|)."""
 
     __slots__ = ("df", "_raw", "_docs", "_tfs", "_pos", "_offs", "_dls",
-                 "_skip_last", "_chunks")
+                 "_skip_last", "_chunks", "_scalar_chunks")
 
     def __init__(self, rec):
         self.df = int(rec["df"])
@@ -121,6 +121,7 @@ class _Row:
         self._docs = self._tfs = self._pos = self._offs = self._dls = None
         self._skip_last = None
         self._chunks = {}  # chunk_id -> (docs, tfs, pos, pos_offs, dls)
+        self._scalar_chunks = {}  # chunk_id -> (docs, tfs, dls), no positions
 
     @property
     def skip_last(self):
@@ -139,11 +140,15 @@ class _Row:
     def chunk_scalars(self, cid: int):
         """(docs, tfs, dls) of one chunk WITHOUT touching the position
         stream — the decode the block-max path uses (positions are the
-        bulk of a posting row and single-trigram scoring never needs
-        them)."""
+        bulk of a posting row; doc-list intersection and upper-bound
+        scoring never need them). Cached independently of the full
+        chunk cache."""
         got = self._chunks.get(cid)
         if got is not None:
             return got[0], got[1], got[4]
+        got = self._scalar_chunks.get(cid)
+        if got is not None:
+            return got
         r = self._raw
         docs_b = slice_chunks(r["doc_bytes"], np.asarray(r["skip_doc_off"]),
                               np.array([cid]), len(r["doc_bytes"]))[0]
@@ -152,7 +157,10 @@ class _Row:
         dl_b = slice_chunks(r["dl_bytes"], np.asarray(r["skip_dl_off"]),
                             np.array([cid]), len(r["dl_bytes"]))[0]
         docs = np.cumsum(decode_varint(docs_b), dtype=np.int64)
-        return docs, decode_varint(tf_b), decode_varint(dl_b)
+        got = (docs, decode_varint(tf_b), decode_varint(dl_b))
+        if len(r["skip_last"]) > 1:
+            self._scalar_chunks[cid] = got
+        return got
 
     @property
     def docs(self):
@@ -208,15 +216,45 @@ class _Row:
 
     def members(self, doc_subset: np.ndarray) -> np.ndarray:
         """Subset of doc_subset present in this posting list — decodes
-        only the chunks the candidates could live in."""
+        only the chunks the candidates could live in, and only their
+        SCALAR streams (r4: this previously went through _chunk and
+        paid the position decode for every touched chunk; positions are
+        now first decoded by rows_for, for the post-intersection
+        survivors only)."""
         cids = self._chunks_for(doc_subset)
         cids = cids[cids < self.skip_last.size]
         if cids.size == 0:
             return doc_subset[:0]
         if self._docs is not None or cids.size == self.skip_last.size:
             return doc_subset[np.isin(doc_subset, self.docs, assume_unique=True)]
-        present = np.concatenate([self._chunk(int(c))[0] for c in cids])
+        present = np.concatenate([self.chunk_scalars(int(c))[0] for c in cids])
         return doc_subset[np.isin(doc_subset, present, assume_unique=True)]
+
+    def scalars_for(self, doc_subset: np.ndarray):
+        """(tfs, dls) aligned with the (sorted, member) subset — the
+        position-free mirror of rows_for, feeding the known-idf upper
+        bounds (phrase tf <= min member-trigram tf)."""
+        cids = self._chunks_for(doc_subset)
+        cids = cids[cids < self.skip_last.size]
+        if self._tfs is not None or cids.size == self.skip_last.size:
+            idx = np.searchsorted(self.docs, doc_subset)
+            return self.tfs[idx], self.dls[idx]
+        parts_t, parts_d = [], []
+        split_at = np.searchsorted(doc_subset, self.skip_last[cids], side="right")
+        prev = 0
+        for c, hi in zip(cids, split_at):
+            sub = doc_subset[prev:hi]
+            prev = hi
+            if sub.size == 0:
+                continue
+            docs, tfs, dls = self.chunk_scalars(int(c))
+            idx = np.searchsorted(docs, sub)
+            parts_t.append(tfs[idx])
+            parts_d.append(dls[idx])
+        if not parts_t:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        return np.concatenate(parts_t), np.concatenate(parts_d)
 
     def rows_for(self, doc_subset: np.ndarray):
         """(flat positions, lens, dls) for the (sorted, member) subset —
@@ -254,12 +292,34 @@ class _Row:
         return p, lens
 
 
+def _verify_positions(recs, common: np.ndarray):
+    """Exact phrase tfs over a candidate doc set: positions shifted by
+    term index and intersected — the count of common start positions is
+    the overlapping-substring tf. Returns (tf, dls) aligned with
+    ``common`` (tf 0 = no phrase match there)."""
+    keys = None
+    dls = None
+    for i, r in enumerate(recs):
+        p, lens, d = r.rows_for(common)
+        if dls is None:
+            dls = d
+        didx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
+        shifted = p - i
+        ok = shifted >= 0
+        k = (didx[ok] << _POS_BITS) | shifted[ok]
+        keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+        if keys.size == 0:
+            return np.zeros(common.size, dtype=np.int64), dls
+    tf = np.bincount((keys >> _POS_BITS).astype(np.int64), minlength=common.size)
+    return tf.astype(np.int64), dls
+
+
 def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
     """(doc_ids, tfs, dls) of a phrase within one block+column, or None.
 
-    Exact FTS5 phrase matching: doc lists intersected rarest-first, then
-    positions shifted by term index and intersected — the count of common
-    start positions is the overlapping-substring tf. dls ride along from
+    Exact FTS5 phrase matching: doc lists intersected rarest-first
+    (scalar streams only), then position verification via
+    :func:`_verify_positions` over the survivors. dls ride along from
     the posting rows (no doc_stats lookup needed)."""
     recs = []
     for t in terms:
@@ -276,21 +336,10 @@ def _phrase_block_tfs(rows: dict, terms: list[int], col: int):
         common = recs[i].members(common)  # chunk-selective membership test
         if common.size == 0:
             return None
-    keys = None
-    dls = None
-    for i, r in enumerate(recs):
-        p, lens, d = r.rows_for(common)
-        if dls is None:
-            dls = d
-        didx = np.repeat(np.arange(common.size, dtype=np.int64), lens)
-        shifted = p - i
-        ok = shifted >= 0
-        k = (didx[ok] << _POS_BITS) | shifted[ok]
-        keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
-        if keys.size == 0:
-            return None
-    tf = np.bincount((keys >> _POS_BITS).astype(np.int64), minlength=common.size)
+    tf, dls = _verify_positions(recs, common)
     hit = tf > 0
+    if not hit.any():
+        return None
     return common[hit], tf[hit], dls[hit]
 
 
@@ -373,6 +422,223 @@ def _pareto_survivors(tfs, dl, doc_ids, avgdl, top_k, chunk=1024):
     return keep
 
 
+def _phrase_col_candidates(rows: dict, terms: list[int], col: int):
+    """Scalar-stream candidate pass for one (phrase, col): docs where
+    every member trigram is present, their dl, and either the EXACT tf
+    (single-trigram phrase — no positions exist to verify) or the upper
+    bound min(member trigram tfs) >= true phrase tf. Returns
+    (recs, docs, tf_or_ub, dls, exact) or None."""
+    recs = []
+    for t in terms:
+        r = rows.get((t, col))
+        if r is None:
+            return None
+        recs.append(r)
+    if len(recs) == 1:
+        r = recs[0]
+        return recs, r.docs, r.tfs, r.dls, True
+    order = sorted(range(len(recs)), key=lambda i: recs[i].df)
+    common = recs[order[0]].docs
+    for i in order[1:]:
+        common = recs[i].members(common)
+        if common.size == 0:
+            return None
+    ub = None
+    dls = None
+    for r in recs:
+        tfs, d = r.scalars_for(common)
+        ub = tfs if ub is None else np.minimum(ub, tfs)
+        if dls is None:
+            dls = d
+    return recs, common, ub, dls, False
+
+
+def _covered_block_frame(rows, phrase_term_ids, deleted, idf_all, idf_name,
+                         top_k, avgdl):
+    """Block-Max WAND generalized to multi-trigram phrases — sound ONLY
+    because the phrase-df side table (operators/phrasedf.py) supplies
+    every phrase's exact global df, so idf no longer depends on
+    in-block verification (the irreducibility argument in the module
+    docstring applies to UNKNOWN dfs only).
+
+    Per doc, phrase tf <= min(member trigram tf) in each column — each
+    phrase start position maps injectively to an occurrence of every
+    member trigram — and BM25's norm is monotone in tf, so
+    sum_i idf_i * norm(ub_tf_i, dl) upper-bounds the doc's exact score
+    on each branch. Candidates are position-verified in best-ub-first
+    order; once a doc's bound is STRICTLY below the running exact k-th
+    rank of every branch it is eligible for, its position streams are
+    never decoded. Verified survivors then emit the exact union of
+    block-local branch top-ks (<= 2*top_k rows; same lexsort keys as
+    _finish_rows, so block decisions agree with the driver's final
+    ranking bit-for-bit).
+
+    Returns (doc_ids, dl, tfs_all list, tfs_name list) or None."""
+    n_ph = len(phrase_term_ids)
+    per_phrase = []  # (docs, ub_all, ub_name, dl, cols) ; cols: col -> pass
+    for terms in phrase_term_ids:
+        per_col = {}
+        for col in (0, 1, 2):
+            got = _phrase_col_candidates(rows, terms, col)
+            if got is not None:
+                per_col[col] = got
+        if not per_col:
+            return None  # phrase matches nothing in this block -> AND fails here
+        docs_u = np.unique(np.concatenate([g[1] for g in per_col.values()]))
+        ub_all = np.zeros(docs_u.size, dtype=np.int64)
+        ub_name = np.zeros(docs_u.size, dtype=np.int64)
+        dl = np.zeros(docs_u.size, dtype=np.int64)
+        for col, (_recs, d, tf, dlv, _exact) in per_col.items():
+            ix = np.searchsorted(docs_u, d)
+            ub_all[ix] += tf
+            dl[ix] = dlv
+            if col == 1:
+                ub_name[ix] += tf
+        per_phrase.append((docs_u, ub_all, ub_name, dl, per_col))
+
+    common = per_phrase[0][0]
+    for p in per_phrase[1:]:
+        common = common[np.isin(common, p[0], assume_unique=True)]
+        if common.size == 0:
+            return None
+    if deleted is not None and deleted.size:
+        common = common[~np.isin(common, deleted, assume_unique=True)]
+        if common.size == 0:
+            return None
+
+    n = common.size
+    ub_all = np.empty((n, n_ph), dtype=np.int64)
+    ub_name = np.empty((n, n_ph), dtype=np.int64)
+    dl = None
+    for i, (docs_u, ua, un, dlv, _per_col) in enumerate(per_phrase):
+        ix = np.searchsorted(docs_u, common)
+        ub_all[:, i] = ua[ix]
+        ub_name[:, i] = un[ix]
+        if dl is None:
+            dl = dlv[ix]
+
+    def rank_np(tf_mat, dls, idfs):
+        # _finish_rows' accumulation order — bit-identical ranks
+        s = np.zeros(tf_mat.shape[0])
+        for i, w in enumerate(idfs):
+            s = s + w * _norm_np(tf_mat[:, i], dls, avgdl)
+        return -s
+
+    ub_rank_all = rank_np(ub_all, dl, idf_all)
+    name_elig = (ub_name > 0).all(axis=1)
+    ub_rank_name = np.full(n, np.inf)
+    if name_elig.any():
+        ub_rank_name[name_elig] = rank_np(
+            ub_name[name_elig], dl[name_elig], idf_name)
+    best_ub = np.minimum(ub_rank_all, ub_rank_name)
+
+    order = np.lexsort((common, best_ub))
+    step = max(4 * top_k, 256)
+
+    v_docs: list[np.ndarray] = []
+    v_ta: list[np.ndarray] = []
+    v_tn: list[np.ndarray] = []
+    v_dl: list[np.ndarray] = []
+    kth_all = np.inf
+    kth_name = np.inf
+    n_all = 0
+    n_name = 0
+    pos = 0
+    while pos < n:
+        if n_all >= top_k:
+            # sweep order ascends in best_ub = min(branch bounds), so
+            # once the NEXT doc's bound is strictly beaten on the all
+            # branch, every remaining doc is too; the name branch needs
+            # its own check (per-doc bounds, not sweep-ordered): done
+            # when no remaining doc is name-eligible, or k named docs
+            # are verified and every remaining eligible bound is beaten
+            rest = order[pos:]
+            if best_ub[rest[0]] > kth_all:
+                el = name_elig[rest]
+                if not el.any() or (
+                    n_name >= top_k
+                    and ub_rank_name[rest[el]].min() > kth_name
+                ):
+                    break
+        batch = np.sort(order[pos:pos + step])
+        pos += step
+        # prune within the batch too (sweep order only bounds the
+        # minimum of the two branch bounds): docs already beaten on
+        # every branch they are eligible for skip verification
+        if n_all >= top_k:
+            dead = ub_rank_all[batch] > kth_all
+            if n_name >= top_k:
+                dead &= (~name_elig[batch]) | (ub_rank_name[batch] > kth_name)
+            else:
+                dead &= ~name_elig[batch]
+            batch = batch[~dead]
+        if batch.size == 0:
+            continue
+        sub = common[batch]
+        tf_all = np.zeros((sub.size, n_ph), dtype=np.int64)
+        tf_name = np.zeros((sub.size, n_ph), dtype=np.int64)
+        for i, (_docs_u, _ua, _un, _dlv, per_col) in enumerate(per_phrase):
+            for col, (recs, cand, tf_or_ub, _cd, exact) in per_col.items():
+                inter = sub[np.isin(sub, cand, assume_unique=True)]
+                if inter.size == 0:
+                    continue
+                if exact:
+                    tfv = tf_or_ub[np.searchsorted(cand, inter)]
+                else:
+                    tfv, _ = _verify_positions(recs, inter)
+                ix = np.searchsorted(sub, inter)
+                tf_all[ix, i] += tfv
+                if col == 1:
+                    tf_name[ix, i] += tfv
+        match = (tf_all > 0).all(axis=1)
+        if not match.any():
+            continue
+        sub = sub[match]
+        tf_all = tf_all[match]
+        tf_name = tf_name[match]
+        sdl = dl[batch][match]
+        v_docs.append(sub)
+        v_ta.append(tf_all)
+        v_tn.append(tf_name)
+        v_dl.append(sdl)
+        # refresh branch thresholds over everything verified so far
+        ad = np.concatenate(v_docs)
+        ata = np.vstack(v_ta)
+        atn = np.vstack(v_tn)
+        adl = np.concatenate(v_dl)
+        ra = rank_np(ata, adl, idf_all)
+        n_all = ad.size
+        if n_all >= top_k:
+            kth_all = np.partition(ra, top_k - 1)[top_k - 1]
+        named = np.flatnonzero((atn > 0).all(axis=1))
+        n_name = named.size
+        if n_name >= top_k:
+            rn = rank_np(atn[named], adl[named], idf_name)
+            kth_name = np.partition(rn, top_k - 1)[top_k - 1]
+
+    if not v_docs:
+        return None
+    docs = np.concatenate(v_docs)
+    ta = np.vstack(v_ta)
+    tn = np.vstack(v_tn)
+    dls = np.concatenate(v_dl)
+    o = np.argsort(docs)
+    docs, ta, tn, dls = docs[o], ta[o], tn[o], dls[o]
+
+    # exact emission: union of the block-local branch top-ks (the
+    # known-idf generalization of the n_ph == 1 prune)
+    if docs.size > 2 * top_k:
+        keep = np.zeros(docs.size, dtype=bool)
+        ra = rank_np(ta, dls, idf_all)
+        keep[np.lexsort((docs, ra))[:top_k]] = True
+        named = np.flatnonzero((tn > 0).all(axis=1))
+        if named.size:
+            rn = rank_np(tn[named], dls[named], idf_name)
+            keep[named[np.lexsort((docs[named], rn))[:top_k]]] = True
+        docs, ta, tn, dls = docs[keep], ta[keep], tn[keep], dls[keep]
+    return docs, dls, list(ta), list(tn)
+
+
 def _single_trigram_wand(r: _Row, top_k: int, avgdl: float):
     """Block-Max WAND over ONE posting row: exact top-k docs by
     norm(tf, dl) using the stored per-chunk (skip_max_tf, skip_min_dl)
@@ -408,7 +674,7 @@ def _single_trigram_wand(r: _Row, top_k: int, avgdl: float):
 
 
 def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
-                        top_k=None, avgdl=None):
+                        top_k=None, avgdl=None, known_idfs=None):
     """One query's per-block computation over pre-built _Row handles:
     returns (stats_tuples, doc_frame_or_None). Shared by the single-query
     and batched UDFs; ``cache`` memoizes per-(phrase, col) results so
@@ -423,8 +689,24 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
     - single-phrase queries emit only their block-local branch top-k,
       multi-phrase queries their Pareto non-dominated set, instead of
       all matching docs (df stats stay full either way).
+
+    ``known_idfs`` = (idf_all, idf_name) from the phrase-df side table
+    routes to :func:`_covered_block_frame` instead: multi-trigram WAND
+    (bound-ordered lazy position verification) + exact branch-top-k
+    emission, stats skipped entirely (dfs are already known globally).
     """
     n_ph = len(phrase_term_ids)
+    if known_idfs is not None and top_k and avgdl is not None:
+        if not (
+            n_ph == 1 and len(phrase_term_ids[0]) == 1 and deleted is None
+        ):
+            # (single-trigram content-only queries fall through to the
+            # chunk-skipping WAND path below — strictly better there)
+            frame = _covered_block_frame(
+                rows, phrase_term_ids, deleted,
+                known_idfs[0], known_idfs[1], top_k, avgdl,
+            )
+            return [], frame
     if (
         n_ph == 1 and len(phrase_term_ids[0]) == 1
         and deleted is None
@@ -565,7 +847,7 @@ def _empty_cand_pdf() -> pd.DataFrame:
 
 
 def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted,
-                          top_k=None, avgdl=None) -> pd.DataFrame:
+                          top_k=None, avgdl=None, known_idfs=None) -> pd.DataFrame:
     """One block's posting rows -> candidate rows.
 
     Emits TWO row kinds (the conjunction and the per-doc aggregation are
@@ -584,10 +866,11 @@ def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted,
         for _, r in pdf.iterrows()
     }
     stats, doc_frame = _query_block_frames(
-        rows, phrase_term_ids, deleted, top_k=top_k, avgdl=avgdl
+        rows, phrase_term_ids, deleted, top_k=top_k, avgdl=avgdl,
+        known_idfs=known_idfs,
     )
     frames = []
-    if stats:
+    if stats and known_idfs is None:  # dfs known globally -> no stat rows
         frames.append(pd.DataFrame(
             [(0, pi, da, dn, 0, 0, None, None) for pi, da, dn in stats],
             columns=_CAND_COLS))
@@ -697,13 +980,16 @@ BATCH_SCHEMA = "qid int, " + CAND2_SCHEMA
 
 
 def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
-                         top_k=None, avgdl=None):
+                         top_k=None, avgdl=None, known_idfs_by_qid=None):
     """mapInPandas over (pblock, path) rows for MANY queries at once:
     one pyarrow scan + one set of _Row handles per block serves every
     query; a per-(phrase) memo means queries sharing phrases decode and
-    intersect once. Amortizes the per-job floor across a query batch."""
+    intersect once. Amortizes the per-job floor across a query batch.
+    Queries present in ``known_idfs_by_qid`` (phrase-df side table
+    coverage) take the covered WAND path and emit no stat rows."""
     cols = ["qid", "kind", "phrase", "df_all", "df_name", "doc_id", "dl",
             "tfs_all", "tfs_name"]
+    known_idfs_by_qid = known_idfs_by_qid or {}
 
     def fn(it):
         tomb_cache: dict = {}
@@ -727,11 +1013,12 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
                 cache: dict = {}
                 frames = []
                 for qid, term_ids in queries_terms:
+                    covered = known_idfs_by_qid.get(qid)
                     stats, doc_frame = _query_block_frames(
                         rows, term_ids, deleted, cache=cache,
-                        top_k=top_k, avgdl=avgdl,
+                        top_k=top_k, avgdl=avgdl, known_idfs=covered,
                     )
-                    if stats:
+                    if stats and covered is None:
                         frames.append(pd.DataFrame(
                             [(qid, 0, pi, da, dn, 0, 0, None, None)
                              for pi, da, dn in stats],
@@ -767,6 +1054,7 @@ def search_index_files_batch(
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
+    phrase_dfs_by_query: "dict[int, list[tuple[int, int]]] | None" = None,
 ) -> DataFrame:
     """Batched two-branch FTS search: one shared posting scan serves
     every query, and the scoring tail finishes driver-side — ONE Spark
@@ -789,26 +1077,45 @@ def search_index_files_batch(
     empty = spark.createDataFrame(
         [], "qid int, doc_id long, name_match boolean, rank double, score double"
     )
+    phrase_dfs_by_query = phrase_dfs_by_query or {}
     parsed = []
     for qi, q in enumerate(queries):
         phrases = query_phrases(q)
-        if phrases and not any(len(p) < 3 for p in phrases) and n_docs:
-            parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
+        if not (phrases and not any(len(p) < 3 for p in phrases) and n_docs):
+            continue
+        pdfs = phrase_dfs_by_query.get(qi)
+        if pdfs is not None and any(da == 0 for da, _dn in pdfs):
+            continue  # covered query whose phrase matches nothing -> no rows
+        parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
     if not parsed or not posting_files:
         return empty
+
+    known_idfs_by_qid = {
+        qi: (
+            [idf_fn(n_docs, da) for da, _ in phrase_dfs_by_query[qi]],
+            [idf_fn(n_docs, dn) if dn else 0.0
+             for _, dn in phrase_dfs_by_query[qi]],
+        )
+        for qi, _, _ in parsed
+        if qi in phrase_dfs_by_query
+    }
 
     needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
     # Tail routing on the driver-side candidate bound (VERDICT r03 #2,
     # same derivation as _tail_bound): when even the optimistic bound
     # exceeds the cap, go straight to the JVM flat plan with no probe
-    # collect; when the bound is exact (all queries single-phrase) and
+    # collect; when the bound is exact (all queries single-phrase or
+    # side-table covered: <= 2*top_k rows/block, no stat rows) and
     # under the cap, collect plainly with no limit probe.
     bound, exact = _tail_bound(
-        len(posting_files), [len(phrases) for _, phrases, _ in parsed], top_k
+        len(posting_files),
+        [1 if qi in known_idfs_by_qid else len(phrases)
+         for qi, phrases, _ in parsed],
+        top_k,
     )
     cand = _files_df(spark, posting_files).mapInPandas(
         _batch_candidates_fn([(qi, tids) for qi, _, tids in parsed], needed,
-                             deletes_dir, top_k, avgdl),
+                             deletes_dir, top_k, avgdl, known_idfs_by_qid),
         BATCH_SCHEMA,
     ).persist()
     try:
@@ -827,7 +1134,8 @@ def search_index_files_batch(
             out_rows = []
             for qi, phrases, _tids in parsed:
                 fin = _finish_rows(by_q.get(qi, []), len(phrases),
-                                   n_docs, avgdl, top_k)
+                                   n_docs, avgdl, top_k,
+                                   phrase_dfs_by_query.get(qi))
                 out_rows.extend((qi, d, nm, rk, -rk) for d, nm, rk in fin)
             if not out_rows:
                 return empty
@@ -846,6 +1154,10 @@ def search_index_files_batch(
         idf_rows = []
         for qi, phrases, _tids in parsed:
             n_ph = len(phrases)
+            if qi in known_idfs_by_qid:
+                ia, iname = known_idfs_by_qid[qi]
+                idf_rows.append((qi, list(ia), list(iname)))
+                continue
             if any((qi, i) not in dfs for i in range(n_ph)):
                 continue  # a phrase matched nothing -> AND fails for this query
             idf_rows.append((
@@ -911,7 +1223,8 @@ _POSTING_READ_COLUMNS = [
 
 
 def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
-                        deletes_dir=None, top_k=None, avgdl=None):
+                        deletes_dir=None, top_k=None, avgdl=None,
+                        known_idfs=None):
     """mapInPandas over rows of (pblock, path): a pyarrow-native posting
     scan. Spark's vectorized parquet reader must decode a whole row
     group of the (large) blob columns before filtering; pyarrow's C++
@@ -935,7 +1248,7 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
                     deletes_dir, pblock, tomb_cache, fs_cache
                 )
                 out = _block_candidates_pdf(tbl.to_pandas(), phrase_term_ids,
-                                            deleted, top_k, avgdl)
+                                            deleted, top_k, avgdl, known_idfs)
                 if len(out):
                     yield out
 
@@ -1004,10 +1317,17 @@ def search_index_files(
     avgdl: float,
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
+    phrase_dfs: "list[tuple[int, int]] | None" = None,
 ) -> DataFrame:
     """Like search_index, but candidates come from the pyarrow custom
     scan over (pblock, file) rows — the low-latency path FtsIndex uses.
-    Tombstones are read task-side per pblock from ``deletes_dir``."""
+    Tombstones are read task-side per pblock from ``deletes_dir``.
+
+    ``phrase_dfs`` (one (df_all, df_name) per parsed phrase, from the
+    phrase-df side table) enables the covered fast path: idfs are
+    computed driver-side, blocks run multi-trigram WAND with exact
+    branch-top-k emission, no df-stat rows flow, and the tail's
+    candidate bound is exact. Results are bit-identical either way."""
     empty = spark.createDataFrame(
         [], "doc_id long, name_match boolean, rank double, score double"
     )
@@ -1017,12 +1337,25 @@ def search_index_files(
     term_ids = [phrase_terms(p) for p in phrases]
     needed = sorted({int(t) for ts in term_ids for t in ts})
 
+    known_idfs = None
+    if phrase_dfs is not None:
+        if len(phrase_dfs) != len(phrases):
+            raise ValueError("phrase_dfs must align with the parsed phrases")
+        if any(da == 0 for da, _dn in phrase_dfs):
+            return empty  # a phrase matches nothing anywhere -> AND fails
+        known_idfs = (
+            [idf_fn(n_docs, da) for da, _ in phrase_dfs],
+            [idf_fn(n_docs, dn) if dn else 0.0 for _, dn in phrase_dfs],
+        )
+
     cand = _files_df(spark, posting_files).mapInPandas(
-        _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl),
+        _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl,
+                            known_idfs),
         CAND2_SCHEMA,
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty,
-                            n_blocks=len(posting_files))
+                            n_blocks=len(posting_files),
+                            dfs_override=phrase_dfs)
 
 
 # Above this many candidate rows the scoring tail runs as a JVM plan
@@ -1090,7 +1423,8 @@ def _collect_bounded(df, max_rows: int):
             spark.conf.set(key, prev)
 
 
-def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty, n_blocks=None):
+def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty, n_blocks=None,
+                     dfs_override=None):
     """Scoring tail of a single query: exact phrase df -> idf -> BM25 ->
     two-branch top-k -> union/dedupe/top-k (reference CTE
     codebased/search.py:240-302).
@@ -1114,31 +1448,40 @@ def _score_and_merge(cand, n_ph, n_docs, avgdl, top_k, empty, n_blocks=None):
     against the SAME persisted candidates — one extra job, never a
     rescan."""
     if n_blocks is not None:
-        bound, exact = _tail_bound(n_blocks, [n_ph], top_k)
+        if dfs_override is not None:
+            # covered path: blocks emit <= 2*top_k kind=1 rows and no
+            # stat rows -> the bound is exact for ANY phrase count
+            bound, exact = n_blocks * 2 * top_k, True
+        else:
+            bound, exact = _tail_bound(n_blocks, [n_ph], top_k)
         if bound > DRIVER_FINISH_MAX:
             cand = cand.persist()
             try:
-                return _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty)
+                return _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty,
+                                   dfs_override)
             finally:
                 cand.unpersist()
         if exact:
             return _finish_driver(
-                cand.collect(), n_ph, n_docs, avgdl, top_k, empty
+                cand.collect(), n_ph, n_docs, avgdl, top_k, empty,
+                dfs_override,
             )
     cand = cand.persist()
     try:
         rows = _collect_bounded(cand, DRIVER_FINISH_MAX)
         if len(rows) <= DRIVER_FINISH_MAX:
-            return _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty)
-        out = _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty)
+            return _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty,
+                                  dfs_override)
+        out = _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty,
+                          dfs_override)
     finally:
         cand.unpersist()
     return out
 
 
-def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
+def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty, dfs_override=None):
     """Driver-side scoring tail over one query's collected candidates."""
-    final = _finish_rows(rows, n_ph, n_docs, avgdl, top_k)
+    final = _finish_rows(rows, n_ph, n_docs, avgdl, top_k, dfs_override)
     if not final:
         return empty
     return empty.sparkSession.createDataFrame(
@@ -1147,22 +1490,30 @@ def _finish_driver(rows, n_ph, n_docs, avgdl, top_k, empty):
     )
 
 
-def _finish_rows(rows, n_ph, n_docs, avgdl, top_k):
+def _finish_rows(rows, n_ph, n_docs, avgdl, top_k, dfs_override=None):
     """Numpy scoring tail over ONE query's candidate rows: returns
     [(doc_id, name_match, rank)] best-first (empty on AND-fail) —
     bit-identical to the JVM expressions (shared _norm_np float
-    pipeline, same accumulation order)."""
-    dfs: dict[int, list[int]] = {}
-    docs = []
-    for r in rows:
-        if r["kind"] == 0:
-            e = dfs.setdefault(int(r["phrase"]), [0, 0])
-            e[0] += int(r["df_all"])
-            e[1] += int(r["df_name"])
-        else:
-            docs.append(r)
-    if len(dfs) < n_ph:
-        return []  # some phrase matches nothing anywhere -> AND fails
+    pipeline, same accumulation order). ``dfs_override`` (the phrase-df
+    side table's per-phrase (df_all, df_name)) replaces the kind=0
+    stat rows, which the covered path does not emit."""
+    if dfs_override is not None:
+        if any(da == 0 for da, _dn in dfs_override):
+            return []  # some phrase matches nothing anywhere -> AND fails
+        dfs = {i: [da, dn] for i, (da, dn) in enumerate(dfs_override)}
+        docs = [r for r in rows if r["kind"] == 1]
+    else:
+        dfs = {}
+        docs = []
+        for r in rows:
+            if r["kind"] == 0:
+                e = dfs.setdefault(int(r["phrase"]), [0, 0])
+                e[0] += int(r["df_all"])
+                e[1] += int(r["df_name"])
+            else:
+                docs.append(r)
+        if len(dfs) < n_ph:
+            return []  # some phrase matches nothing anywhere -> AND fails
     if not docs:
         return []
     idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
@@ -1204,18 +1555,24 @@ def _finish_rows(rows, n_ph, n_docs, avgdl, top_k):
     )[:top_k]
 
 
-def _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty):
+def _finish_jvm(cand, n_ph, n_docs, avgdl, top_k, empty, dfs_override=None):
     """JVM scoring tail (the pre-r3 shape) — the fallback when the
-    candidate set is too large to pull to the driver."""
-    dfs = {
-        int(r["phrase"]): (int(r["sa"]), int(r["sn"]))
-        for r in cand.filter(F.col("kind") == 0)
-        .groupBy("phrase")
-        .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
-        .collect()
-    }
-    if len(dfs) < n_ph:
-        return empty  # some phrase matches nothing anywhere -> AND fails
+    candidate set is too large to pull to the driver. ``dfs_override``
+    skips the df aggregation job (the covered path emits no stat rows)."""
+    if dfs_override is not None:
+        if any(da == 0 for da, _dn in dfs_override):
+            return empty
+        dfs = {i: (da, dn) for i, (da, dn) in enumerate(dfs_override)}
+    else:
+        dfs = {
+            int(r["phrase"]): (int(r["sa"]), int(r["sn"]))
+            for r in cand.filter(F.col("kind") == 0)
+            .groupBy("phrase")
+            .agg(F.sum("df_all").alias("sa"), F.sum("df_name").alias("sn"))
+            .collect()
+        }
+        if len(dfs) < n_ph:
+            return empty  # some phrase matches nothing anywhere -> AND fails
     idf_all = [idf_fn(n_docs, dfs[i][0]) for i in range(n_ph)]
     idf_name = [idf_fn(n_docs, dfs[i][1]) if dfs[i][1] else 0.0 for i in range(n_ph)]
 

@@ -150,6 +150,12 @@ class FtsIndex:
         # returns a fresh FtsIndex) starts clean, mirroring the
         # clear-on-commit at codebased/index.py:668-669.
         self._search_cache: dict[tuple[str, int], DataFrame] = {}
+        # hot-phrase df side table (operators/phrasedf.py): {} when
+        # absent or stale; queries whose every phrase is covered take
+        # the known-idf WAND fast path (bit-identical results)
+        from codebased_spark.operators.phrasedf import load_phrase_df
+
+        self.phrase_dfs: dict[str, tuple[int, int]] = load_phrase_df(spark, self)
 
     def deletes_df(self) -> "DataFrame | None":
         """Tombstoned doc_ids as a DataFrame (None when absent) — the
@@ -247,6 +253,7 @@ class FtsIndex:
             out = search_index_files(
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
                 top_k, deletes_dir=self._task_deletes_dir(),
+                phrase_dfs=self._covering_dfs(query),
             )
         else:
             out = search_index(
@@ -291,7 +298,25 @@ class FtsIndex:
         return search_index_files_batch(
             self.spark, self.posting_files, queries, self.n_docs, self.avgdl,
             top_k, deletes_dir=self._task_deletes_dir(),
+            phrase_dfs_by_query={
+                qi: dfs for qi, dfs in (
+                    (qi, self._covering_dfs(q)) for qi, q in enumerate(queries)
+                ) if dfs is not None
+            },
         )
+
+    def _covering_dfs(self, query: str) -> "list[tuple[int, int]] | None":
+        """Per-phrase (df_all, df_name) when EVERY parsed phrase of the
+        query is in the phrase-df side table, else None (partial
+        coverage can't fix any idf: scoring needs all of them)."""
+        if not self.phrase_dfs:
+            return None
+        from codebased_spark.functions.fts5 import query_phrases
+
+        phrases = query_phrases(query)
+        if not phrases or any(p not in self.phrase_dfs for p in phrases):
+            return None
+        return [self.phrase_dfs[p] for p in phrases]
 
     def search_with_metadata(self, query: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Q7: join survivors to doc metadata (broadcast the tiny top-k

@@ -200,6 +200,10 @@ class IndexFS:
         if self._local:
             import shutil
 
-            shutil.rmtree(local_path(path), ignore_errors=True)
+            p = local_path(path)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
             return
         self._jfs.delete(self._jpath(path), True)

@@ -140,6 +140,21 @@ def incremental_update(
                 _join(index_dir, "deletes")
             )
 
+        if n_add or n_dead:
+            # the phrase-df side table's dfs are exact only for the
+            # corpus generation they were computed over — drop it (the
+            # caller rebuilds via build_phrase_df after the commit);
+            # the fingerprint check in load_phrase_df is the backstop
+            from codebased_spark.operators.phrasedf import (
+                PHRASE_DF_DIR,
+                PHRASE_DF_MANIFEST,
+            )
+
+            idx.fs.delete(_join(index_dir, PHRASE_DF_DIR))
+            man = _join(index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json")
+            if idx.fs.exists(man):
+                idx.fs.delete(man)
+
         n_docs = idx.n_docs - n_dead + n_add
         total_dl = idx.total_dl - dl_dead + dl_add
         avgdl = (total_dl / n_docs) if n_docs else 0.0

@@ -1,0 +1,214 @@
+"""Hot-phrase df side table (operators/phrasedf.py) + the covered
+multi-trigram WAND path it unlocks: stored dfs must equal brute-force
+truth, covered searches must be bit-identical to uncovered ones, and
+staleness must disable the table rather than corrupt idf."""
+
+import numpy as np
+import pytest
+
+from codebased_spark.functions.fts5 import casefold, count_overlapping
+from codebased_spark.operators.phrasedf import (
+    build_phrase_df,
+    hot_phrases_from_corpus,
+    load_phrase_df,
+)
+from codebased_spark.plans.engine import FtsIndex, build_index
+from codebased_spark.sources.corpus import fixture_corpus
+
+PHRASES = [
+    "hello world",     # hot multi-trigram phrase
+    "server started",
+    "world",           # multi-trigram single word
+    "wor",             # exactly one trigram
+    "index.js",        # matches name + path columns
+    "zqxjkw notthere", # matches nothing -> df 0
+    "ab",              # sub-trigram -> stored as df 0
+]
+
+QUERIES = [
+    "hello world",
+    '"hello world" world',
+    "server started",
+    "world wor",
+    "index.js",
+    '"hello world" zqxjkw notthere',  # covered AND-fail -> empty
+]
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("pdf") / "idx")
+    index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=4)
+    return index, idx_dir
+
+
+def _hits(df):
+    return [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+            for r in df.collect()]
+
+
+def _brute_dfs(spark, phrase):
+    """Ground-truth per-branch dfs: overlapping-substring occurrence in
+    any column (df_all) / the name column (df_name), per doc."""
+    from codebased_spark.operators.docs import build_docs
+
+    p = casefold(phrase)
+    da = dn = 0
+    for r in build_docs(fixture_corpus(spark), num_blocks=4).collect():
+        texts = [r["path"], r["name"], r["content"]]
+        if any(count_overlapping(casefold(t or ""), p) > 0 for t in texts):
+            da += 1
+        if count_overlapping(casefold(r["name"] or ""), p) > 0:
+            dn += 1
+    return da, dn
+
+
+def test_phrase_df_values_match_bruteforce(spark, indexed):
+    index, _ = indexed
+    table = build_phrase_df(spark, index, PHRASES)
+    assert set(table) == {casefold(p) for p in PHRASES}
+    for p in ["hello world", "server started", "world", "wor", "index.js",
+              "zqxjkw notthere"]:
+        assert table[p] == _brute_dfs(spark, p), p
+    assert table["ab"] == (0, 0)  # sub-trigram: unmatchable, stored as 0
+
+
+def test_covered_search_bit_identical(spark, indexed):
+    """The covered WAND path (known idfs, lazy position verification,
+    exact branch-top-k emission) must return byte-identical rows to the
+    uncovered path, single and batch, across phrase shapes."""
+    index, idx_dir = indexed
+    build_phrase_df(spark, index, PHRASES)
+    covered = FtsIndex(spark, idx_dir)
+    assert covered.phrase_dfs  # table loaded
+
+    plain = FtsIndex(spark, idx_dir)
+    plain.phrase_dfs = {}  # force the uncovered path
+
+    for q in QUERIES:
+        want = _hits(plain.search(q, 10))
+        got = _hits(covered.search(q, 10))
+        assert got == want, q
+    assert _hits(covered.search('"hello world" zqxjkw notthere', 10)) == []
+
+    got_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in covered.search_batch(QUERIES, 10).collect()
+    )
+    want_b = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in plain.search_batch(QUERIES, 10).collect()
+    )
+    assert got_b == want_b
+
+    # mixed-coverage batch: add a query the table does not cover
+    mixed = QUERIES + ["print hello"]
+    got_m = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in covered.search_batch(mixed, 10).collect()
+    )
+    want_m = sorted(
+        (int(r["qid"]), int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
+        for r in plain.search_batch(mixed, 10).collect()
+    )
+    assert got_m == want_m
+
+
+def test_covered_path_with_tombstones(spark, tmp_path):
+    """Covered search honors tombstones, and an incremental commit
+    invalidates the table (stale dfs must never reach idf)."""
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+    from codebased_spark.streaming.incremental import incremental_update
+
+    v1 = [
+        ("r1", "a.py", "c" * 40, "python", 'print("hello world")'),
+        ("r1", "b.py", "c" * 40, "python", 'print("hello again world")'),
+        ("r1", "c.md", "c" * 40, "text", "hello hello world hello world"),
+    ]
+    idx_dir = str(tmp_path / "tomb_idx")
+    index = build_index(
+        spark, spark.createDataFrame(v1, CORPUS_SCHEMA), idx_dir, num_blocks=2)
+    build_phrase_df(spark, index, ["hello world", "hello"])
+    assert FtsIndex(spark, idx_dir).phrase_dfs
+
+    # tombstone b.py; the commit must drop the table
+    index2 = incremental_update(
+        spark, idx_dir,
+        spark.createDataFrame([v1[0], v1[2]], CORPUS_SCHEMA),
+        full_snapshot=True,
+    )
+    assert index2.phrase_dfs == {}
+    assert load_phrase_df(spark, index2) == {}
+
+    # rebuild over the new generation: dfs reflect the deletion and the
+    # covered path matches the uncovered one under tombstones
+    table = build_phrase_df(spark, index2, ["hello world", "hello"])
+    assert table["hello world"] == (2, 0)  # b.py gone
+    covered = FtsIndex(spark, idx_dir)
+    assert covered.phrase_dfs
+    plain = FtsIndex(spark, idx_dir)
+    plain.phrase_dfs = {}
+    for q in ["hello world", '"hello world" hello']:
+        assert _hits(covered.search(q, 10)) == _hits(plain.search(q, 10)), q
+
+
+def test_stale_fingerprint_rejected(spark, indexed):
+    """A manifest whose (n_docs, total_dl) fingerprint disagrees with
+    corpus_stats must cause load_phrase_df to return {}."""
+    import json
+    import os
+
+    index, idx_dir = indexed
+    build_phrase_df(spark, index, ["hello world"])
+    man = os.path.join(idx_dir, "_manifest", "phrase_df.json")
+    rec = json.load(open(man))
+    rec["n_docs"] = rec["n_docs"] + 1
+    json.dump(rec, open(man, "w"))
+    assert load_phrase_df(spark, FtsIndex(spark, idx_dir)) == {}
+    # restore for other tests
+    rec["n_docs"] = rec["n_docs"] - 1
+    json.dump(rec, open(man, "w"))
+    assert load_phrase_df(spark, FtsIndex(spark, idx_dir))
+
+
+def test_hot_phrases_from_corpus(spark):
+    phrases = hot_phrases_from_corpus(fixture_corpus(spark), top_n=8)
+    assert 0 < len(phrases) <= 8
+    assert all(len(p) >= 3 and p == casefold(p) for p in phrases)
+
+
+def test_generic_store_build_matches_files_build(spark, tmp_path):
+    """build_phrase_df's generic-store fallback (DataFrame posting scan)
+    computes the same dfs as the pyarrow-files path."""
+    idx_dir = str(tmp_path / "gen_idx")
+    index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=4)
+    via_files = build_phrase_df(spark, index, PHRASES)
+
+    blind = FtsIndex(spark, idx_dir)
+    blind.posting_files = []  # force the generic branch
+    via_generic = build_phrase_df(spark, blind, PHRASES)
+    assert via_generic == via_files
+
+
+def test_scalars_for_matches_rows_for(spark, indexed):
+    """_Row.scalars_for (position-free) must agree with rows_for's tf
+    lens and dls on every subset shape."""
+    import pyarrow.parquet as pq
+
+    from codebased_spark.operators.query import _Row
+
+    index, _ = indexed
+    path = index.posting_files[0][1]
+    tbl = pq.read_table(path)
+    pdf = tbl.to_pandas()
+    # the widest row exercises multi-chunk selective decode best
+    rec = pdf.iloc[int(pdf["df"].idxmax())]
+    r1, r2 = _Row(rec), _Row(rec)
+    docs = r1.docs
+    rng = np.random.RandomState(3)
+    for frac in (1.0, 0.5, 0.1):
+        sub = np.sort(rng.choice(docs, size=max(1, int(docs.size * frac)),
+                                 replace=False))
+        _p, lens, dls = r1.rows_for(sub)
+        tfs2, dls2 = r2.scalars_for(sub)
+        assert (lens == tfs2).all() and (dls == dls2).all()

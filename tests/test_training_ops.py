@@ -404,6 +404,48 @@ def test_duplicate_ngram_spans(spark):
     assert all(nd >= 2 for nd, _ in got.values())
 
 
+def test_ngram_digest_key_mode(spark):
+    """VERDICT r03 #5: key='digest' groups/joins on md5(ngram) with the
+    text dropped pre-shuffle — counts identical to text mode, keys are
+    the md5 hex of the corresponding spans."""
+    import hashlib
+
+    from codebased_spark.operators.trainprep import (
+        benchmark_contamination,
+        duplicate_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "a lazy the quick brown dog"),
+            (2, "the quick brown the quick brown"),
+            (3, "too short"),
+            (4, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    text = {r["ngram"]: (r["n_docs"], r["n_occ"])
+            for r in duplicate_ngram_spans(docs, n=3, min_docs=2).collect()}
+    dig = {r["ngram_md5"]: (r["n_docs"], r["n_occ"])
+           for r in duplicate_ngram_spans(
+               docs, n=3, min_docs=2, key="digest").collect()}
+    assert dig == {
+        hashlib.md5(g.encode()).hexdigest(): v for g, v in text.items()
+    }
+
+    probe = docs.filter("doc_id = 0")
+    want = sorted(map(tuple, benchmark_contamination(docs, probe, n=3).collect()))
+    got = sorted(map(tuple, benchmark_contamination(
+        docs, probe, n=3, key="digest").collect()))
+    assert got == want  # same schema, same values — only shuffle bytes differ
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key must be"):
+        duplicate_ngram_spans(docs, key="zstd")
+
+
 def test_benchmark_contamination_bounds(spark):
     """Contamination is 1.0 for a doc fully inside the probe, 0.0 for
     disjoint text, fractional in between, and 0 for sub-n docs."""
@@ -558,3 +600,20 @@ def test_short_doc_textops_trigrams(spark):
 
     tri = {r["trigram"]: r["df"] for r in trigram_document_frequency(docs).collect()}
     assert tri == {"abc": 1}  # no phantom "ab"/"" trigrams from short docs
+
+
+def test_media_gate_parquet_matches_gen_media(spark):
+    """The gate's pyarrow-materialized media table (read by BOTH Spark
+    and the DuckDB oracle) must be row-identical to
+    gen_media(spark, 200, seed=11) — otherwise the r4 media oracles
+    would verify a drifting twin, not the operator's input."""
+    import __spark_entry__ as e
+    from codebased_spark.operators.multimodal import gen_media
+
+    e._ensure_media_gate_files()
+    cols = ["media_id", "kind", "payload", "width", "height",
+            "channels", "sample_rate", "n_frames"]
+    want = sorted(map(tuple, gen_media(spark, 200, seed=11).select(cols).collect()))
+    got = sorted(map(tuple,
+                     spark.read.parquet(e._GATE_MEDIA_PATH).select(cols).collect()))
+    assert got == want
