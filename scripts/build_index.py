@@ -32,6 +32,10 @@ def main() -> None:
                     help="doc blocks; size so a block's tokens fit a task (~1e8 max)")
     ap.add_argument("--chunk", action="store_true", help="emit per-definition docs")
     ap.add_argument("--resume", action="store_true", help="skip completed stages")
+    ap.add_argument("--hot-phrases", default="",
+                    help="comma-separated phrases for the phrase-df side "
+                         "table (query-log hot set); prefix 'top:N' mines "
+                         "the corpus's N hottest word bigrams instead")
     args = ap.parse_args()
 
     from codebased_spark.session import get_spark
@@ -54,12 +58,26 @@ def main() -> None:
         spark, corpus, args.index_dir,
         num_blocks=args.num_blocks, chunk=args.chunk, resume=args.resume,
     )
+    n_hot = 0
+    if args.hot_phrases:
+        from codebased_spark.operators.phrasedf import (
+            build_phrase_df,
+            hot_phrases_from_corpus,
+        )
+
+        if args.hot_phrases.startswith("top:"):
+            phrases = hot_phrases_from_corpus(
+                corpus, top_n=int(args.hot_phrases[4:]))
+        else:
+            phrases = [p.strip() for p in args.hot_phrases.split(",") if p.strip()]
+        n_hot = len(build_phrase_df(spark, index, phrases))
     print(json.dumps({
         "index_dir": args.index_dir,
         "n_docs": index.n_docs,
         "avgdl": round(index.avgdl, 3),
         "blocks": len(index.posting_files),
         "build_sec": round(time.time() - t0, 2),
+        "hot_phrases": n_hot,
     }))
     spark.stop()
 

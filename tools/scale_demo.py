@@ -51,7 +51,9 @@ def main() -> None:
     from codebased_spark.functions.fts5 import query_phrases
     from codebased_spark.operators.phrasedf import build_phrase_df
     from codebased_spark.plans.engine import build_index
-    from codebased_spark.sources.corpus import gen_corpus
+    from codebased_spark.sources.corpus import documents_as_corpus, gen_corpus
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # tail instrumentation: record (tail, candidate_rows) per search
     tails: list[tuple[str, int | None]] = []
@@ -68,12 +70,18 @@ def main() -> None:
     q._finish_driver, q._finish_jvm = fd, fj
 
     for n_files in sizes:
+        # same corpus mix as bench.py: the driver's documents table (so
+        # every bench query shape has real hits) + deterministic
+        # synthetic code files up to n_files
         corpus_dir = os.path.join(tempfile.gettempdir(), f"scale_corpus_{n_files}")
         if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
             shutil.rmtree(corpus_dir, ignore_errors=True)
-            gen_corpus(
-                spark, n_repos=max(1, n_files // 10), files_per_repo=10
-            ).write.mode("overwrite").parquet(corpus_dir)
+            docs = documents_as_corpus(spark, sf_dir)
+            synth = gen_corpus(
+                spark, n_repos=max(1, (n_files - docs.count()) // 10),
+                files_per_repo=10,
+            )
+            docs.unionByName(synth).write.mode("overwrite").parquet(corpus_dir)
         corpus = spark.read.parquet(corpus_dir)
 
         # blocks scale with corpus so per-block posting shards stay
@@ -107,6 +115,11 @@ def main() -> None:
         phrase_df_sec = round(time.time() - tp, 3)
         index._search_cache.clear()
         hot = run(QUERIES)
+        # second cold pass brackets host drift (this VM swings 2x
+        # within a session): compare hot against min(cold, cold2)
+        index.phrase_dfs = {}
+        index._search_cache.clear()
+        cold2 = run(QUERIES)
 
         tails.clear()
         tb = time.time()
@@ -128,6 +141,7 @@ def main() -> None:
             "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
             "queries": cold,
             "queries_hot": hot,
+            "queries_cold2": cold2,
         }), flush=True)
 
     q._finish_driver, q._finish_jvm = orig_fd, orig_fj
