@@ -961,8 +961,9 @@ def _ensure_media_gate_files() -> None:
                 "n_frames": pa.array([r[7] for r in rows], pa.int32()),
             }
         )
-        pq.write_table(tbl, _GATE_MEDIA_PATH + ".tmp")
-        os.replace(_GATE_MEDIA_PATH + ".tmp", _GATE_MEDIA_PATH)
+        tmp = f"{_GATE_MEDIA_PATH}.{os.getpid()}.tmp"  # unique per writer
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _GATE_MEDIA_PATH)
 
     if not os.path.exists(_GATE_PROJ_PATH):
         rng = np.random.RandomState(12345)  # = media_features' seed
@@ -976,8 +977,9 @@ def _ensure_media_gate_files() -> None:
                 "w": pa.array(proj.ravel(), pa.float64()),
             }
         )
-        pq.write_table(tbl, _GATE_PROJ_PATH + ".tmp")
-        os.replace(_GATE_PROJ_PATH + ".tmp", _GATE_PROJ_PATH)
+        tmp = f"{_GATE_PROJ_PATH}.{os.getpid()}.tmp"  # unique per writer
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _GATE_PROJ_PATH)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

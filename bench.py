@@ -121,6 +121,10 @@ def main() -> None:
     index.search_batch(list(QUERIES.values()), 32).count()
     batch_sec = round(time.time() - tb, 3)
 
+    # snapshot the r1-r3-comparable total BEFORE the hot section —
+    # total_sec must keep meaning build + 6 uncovered queries + batch
+    total = round(time.time() - t0, 3)
+
     # hot-phrase df side table (operators/phrasedf.py): build it for
     # the bench phrases (the operational model: a query log's hot set),
     # then time the same queries on the covered multi-trigram-WAND
@@ -147,7 +151,6 @@ def main() -> None:
 
     lat = sorted(q_times.values())
     p50 = lat[len(lat) // 2]
-    total = round(time.time() - t0, 3)
 
     # The session's FIRST-CONTACT official run (captured as the very
     # first Spark job, before any other load) is the interpretable

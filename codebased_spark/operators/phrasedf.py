@@ -190,6 +190,10 @@ def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
 
     table_rows = [(p, counts[p][0], counts[p][1]) for p in folded]
     out_dir = _join(index.index_dir, PHRASE_DF_DIR)
+    # manifest first, then data: a crash can leave data-without-manifest
+    # (harmless — load ignores it) but never manifest-without-data
+    index.fs.delete(_join(index.index_dir, "_manifest",
+                          f"{PHRASE_DF_MANIFEST}.json"))
     index.fs.delete(out_dir)
     spark.createDataFrame(
         table_rows, "phrase string, df_all long, df_name long"
@@ -222,11 +226,16 @@ def load_phrase_df(spark: SparkSession, index) -> dict:
         man = index.fs.read_json(man_path)
     except Exception:
         return {}
-    if (
-        int(man.get("version", -1)) != FORMAT_VERSION
-        or int(man.get("n_docs", -1)) != index.n_docs
-        or int(man.get("total_dl", -1)) != index.total_dl
-    ):
+    try:
+        if (
+            int(man.get("version", -1)) != FORMAT_VERSION
+            or int(man.get("n_docs", -1)) != index.n_docs
+            or int(man.get("total_dl", -1)) != index.total_dl
+        ):
+            return {}
+        rows = spark.read.parquet(_join(index.index_dir, PHRASE_DF_DIR)).collect()
+        return {r["phrase"]: (int(r["df_all"]), int(r["df_name"])) for r in rows}
+    except Exception:
+        # a manifest surviving a crash window whose data dir is gone
+        # must disable the table, never make the index unopenable
         return {}
-    rows = spark.read.parquet(_join(index.index_dir, PHRASE_DF_DIR)).collect()
-    return {r["phrase"]: (int(r["df_all"]), int(r["df_name"])) for r in rows}

@@ -92,6 +92,21 @@ def _norm_np(tf, dl, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * ((1.0 - B) + (B * dl.astype(np.float64)) / avgdl))
 
 
+def _rank_rows(tf_mat, dl, idfs, avgdl: float):
+    """rank = -sum_i idf_i * norm(tf_i, dl) over a (n, n_ph) tf matrix.
+
+    THE accumulation-order-defining loop: the JVM literal chain
+    (lit(0.0) + w0*n0 + w1*n1 + ...), the driver tail (_finish_rows),
+    and the covered-WAND in-task emission (_covered_block_frame) must
+    all rank through the SAME float pipeline, or a doc pruned in a
+    block could tie-break differently at the driver. Every numpy site
+    calls this one helper — do not re-inline it."""
+    s = np.zeros(tf_mat.shape[0])
+    for i, w in enumerate(idfs):
+        s = s + w * _norm_np(tf_mat[:, i], dl, avgdl)
+    return -s
+
+
 def _multi_slice(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather flat[starts[i] : starts[i]+lens[i]] for all i, vectorized."""
     total = int(lens.sum())
@@ -454,7 +469,7 @@ def _phrase_col_candidates(rows: dict, terms: list[int], col: int):
 
 
 def _covered_block_frame(rows, phrase_term_ids, deleted, idf_all, idf_name,
-                         top_k, avgdl):
+                         top_k, avgdl, cache=None):
     """Block-Max WAND generalized to multi-trigram phrases — sound ONLY
     because the phrase-df side table (operators/phrasedf.py) supplies
     every phrase's exact global df, so idf no longer depends on
@@ -473,28 +488,44 @@ def _covered_block_frame(rows, phrase_term_ids, deleted, idf_all, idf_name,
     _finish_rows, so block decisions agree with the driver's final
     ranking bit-for-bit).
 
-    Returns (doc_ids, dl, tfs_all list, tfs_name list) or None."""
+    Returns (doc_ids, dl, tfs_all list, tfs_name list) or None.
+
+    ``cache`` (batch mode) memoizes the QUERY-INDEPENDENT candidate
+    pass — per-(phrase, cols) doc sets, upper-bound tfs, dls — under
+    a ("cov", terms) key, so batched covered queries sharing a hot
+    phrase intersect and bound once per block (the verification loop
+    stays per-query: thresholds depend on the query's idf mix)."""
     n_ph = len(phrase_term_ids)
     per_phrase = []  # (docs, ub_all, ub_name, dl, cols) ; cols: col -> pass
     for terms in phrase_term_ids:
-        per_col = {}
-        for col in (0, 1, 2):
-            got = _phrase_col_candidates(rows, terms, col)
-            if got is not None:
-                per_col[col] = got
-        if not per_col:
-            return None  # phrase matches nothing in this block -> AND fails here
-        docs_u = np.unique(np.concatenate([g[1] for g in per_col.values()]))
-        ub_all = np.zeros(docs_u.size, dtype=np.int64)
-        ub_name = np.zeros(docs_u.size, dtype=np.int64)
-        dl = np.zeros(docs_u.size, dtype=np.int64)
-        for col, (_recs, d, tf, dlv, _exact) in per_col.items():
-            ix = np.searchsorted(docs_u, d)
-            ub_all[ix] += tf
-            dl[ix] = dlv
-            if col == 1:
-                ub_name[ix] += tf
-        per_phrase.append((docs_u, ub_all, ub_name, dl, per_col))
+        ck = ("cov", tuple(terms))
+        got = cache.get(ck) if cache is not None else None
+        if got is None:
+            per_col = {}
+            for col in (0, 1, 2):
+                g = _phrase_col_candidates(rows, terms, col)
+                if g is not None:
+                    per_col[col] = g
+            if not per_col:
+                got = False  # phrase matches nothing in this block
+            else:
+                docs_u = np.unique(
+                    np.concatenate([g[1] for g in per_col.values()]))
+                ub_all = np.zeros(docs_u.size, dtype=np.int64)
+                ub_name = np.zeros(docs_u.size, dtype=np.int64)
+                dl = np.zeros(docs_u.size, dtype=np.int64)
+                for col, (_recs, d, tf, dlv, _exact) in per_col.items():
+                    ix = np.searchsorted(docs_u, d)
+                    ub_all[ix] += tf
+                    dl[ix] = dlv
+                    if col == 1:
+                        ub_name[ix] += tf
+                got = (docs_u, ub_all, ub_name, dl, per_col)
+            if cache is not None:
+                cache[ck] = got
+        if got is False:
+            return None  # AND fails in this block
+        per_phrase.append(got)
 
     common = per_phrase[0][0]
     for p in per_phrase[1:]:
@@ -518,11 +549,7 @@ def _covered_block_frame(rows, phrase_term_ids, deleted, idf_all, idf_name,
             dl = dlv[ix]
 
     def rank_np(tf_mat, dls, idfs):
-        # _finish_rows' accumulation order — bit-identical ranks
-        s = np.zeros(tf_mat.shape[0])
-        for i, w in enumerate(idfs):
-            s = s + w * _norm_np(tf_mat[:, i], dls, avgdl)
-        return -s
+        return _rank_rows(tf_mat, dls, idfs, avgdl)
 
     ub_rank_all = rank_np(ub_all, dl, idf_all)
     name_elig = (ub_name > 0).all(axis=1)
@@ -704,7 +731,7 @@ def _query_block_frames(rows, phrase_term_ids, deleted, qid=None, cache=None,
             # chunk-skipping WAND path below — strictly better there)
             frame = _covered_block_frame(
                 rows, phrase_term_ids, deleted,
-                known_idfs[0], known_idfs[1], top_k, avgdl,
+                known_idfs[0], known_idfs[1], top_k, avgdl, cache=cache,
             )
             return [], frame
     if (
@@ -1526,11 +1553,7 @@ def _finish_rows(rows, n_ph, n_docs, avgdl, top_k, dfs_override=None):
     tfs_name = np.array([r["tfs_name"] for r in docs], dtype=np.int64)
 
     def rank_of(tfs, idfs):
-        # same accumulation order as the JVM chain lit(0.0) + w0*n0 + ...
-        s = np.zeros(n)
-        for i, w in enumerate(idfs):
-            s = s + w * _norm_np(tfs[:, i], dl, avgdl)
-        return -s
+        return _rank_rows(tfs, dl, idfs, avgdl)
 
     rank_all = rank_of(tfs_all, idf_all)
     sel_all = np.lexsort((doc_id, rank_all))[:top_k]

@@ -51,11 +51,17 @@ def incremental_update(
     chunk: bool = False,
     full_snapshot: bool = False,
     num_blocks: int | None = None,
+    force_jvm: bool = False,
+    force_generic_scan: bool = False,
 ) -> FtsIndex:
     """Apply a corpus batch to an existing index. Returns the reloaded
     index. ``full_snapshot=True`` additionally tombstones every stored
-    path that is absent from the batch (delete-not-visited)."""
-    idx = FtsIndex(spark, index_dir)
+    path that is absent from the batch (delete-not-visited).
+    ``force_jvm``/``force_generic_scan`` apply to both the working and
+    the returned index handle (a caller that opted out of the pyarrow
+    fast path must not get it silently re-enabled by a commit)."""
+    idx = FtsIndex(spark, index_dir, force_jvm=force_jvm,
+                   force_generic_scan=force_generic_scan)
     all_stored = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
     # the sha gate and the delete sweep must see LIVE docs only: stale
     # doc_stats rows (already tombstoned) would otherwise both mask real
@@ -150,10 +156,13 @@ def incremental_update(
                 PHRASE_DF_MANIFEST,
             )
 
-            idx.fs.delete(_join(index_dir, PHRASE_DF_DIR))
+            # manifest FIRST: a crash between the deletes must leave
+            # data-without-manifest (ignored on load), never a manifest
+            # pointing at a missing dir
             man = _join(index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json")
             if idx.fs.exists(man):
                 idx.fs.delete(man)
+            idx.fs.delete(_join(index_dir, PHRASE_DF_DIR))
 
         n_docs = idx.n_docs - n_dead + n_add
         total_dl = idx.total_dl - dl_dead + dl_add
@@ -178,7 +187,8 @@ def incremental_update(
         )
     finally:
         new_files.unpersist()
-    return FtsIndex(spark, index_dir)
+    return FtsIndex(spark, index_dir, force_jvm=force_jvm,
+                    force_generic_scan=force_generic_scan)
 
 
 def tombstone_ratio(index: FtsIndex) -> float:

@@ -212,3 +212,19 @@ def test_scalars_for_matches_rows_for(spark, indexed):
         _p, lens, dls = r1.rows_for(sub)
         tfs2, dls2 = r2.scalars_for(sub)
         assert (lens == tfs2).all() and (dls == dls2).all()
+
+
+def test_manifest_without_data_is_ignored(spark, tmp_path):
+    """Crash-window robustness (r4 review): a phrase-df manifest whose
+    data dir is missing must disable the table, never make the index
+    unopenable."""
+    import os
+    import shutil
+
+    idx_dir = str(tmp_path / "crash_idx")
+    index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=2)
+    build_phrase_df(spark, index, ["hello world"])
+    shutil.rmtree(os.path.join(idx_dir, "phrase_df"))  # data gone, manifest stays
+    reopened = FtsIndex(spark, idx_dir)  # must not raise
+    assert reopened.phrase_dfs == {}
+    assert reopened.search("hello world", 5).count() >= 0
