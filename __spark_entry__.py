@@ -553,6 +553,41 @@ def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
 
 
+def q_fts_hot_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covered multi-trigram WAND path under the oracle (r4): the
+    same real index as fts_bm25_index_path plus the phrase-df side
+    table for the query's phrases, so FtsIndex.search routes through
+    _covered_block_frame (known idfs, upper-bound-ordered lazy position
+    verification, exact branch-top-k emission). Cross-engine proof that
+    the fast path changes plans, not values."""
+    import shutil
+    import tempfile
+
+    from codebased_spark.operators.phrasedf import build_phrase_df
+    from codebased_spark.plans.engine import build_index
+
+    corpus = _documents_as_index_corpus(_documents(spark, sf_dir))
+    idx_dir = tempfile.mkdtemp(prefix="gate_fts_hot_")
+    try:
+        index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        build_phrase_df(spark, index, ["table", "merge"])
+        assert index._covering_dfs("table merge") is not None  # covered
+        hits = index.search("table merge", K_ALL)
+        out = (
+            index.doc_stats.select("doc_id", "path")
+            .join(F.broadcast(hits), "doc_id")
+            .select(
+                F.substring("path", 2, 9).cast("long").alias("doc_id"),
+                "name_match",
+                F.round("score", 6).alias("score"),
+            )
+        )
+        rows = out.collect()  # materialize before the tmp dir is removed
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via the PERSISTED signature table (build once, query many —
     VERDICT r01 #5: the one-shot path re-projected every vector per
@@ -1246,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_named_branch": _fts_query(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _fts_query(["customer query"], named=False, top_k=K_ALL),
         "fts_bm25_index_path": q_fts_index_path,
+        "fts_bm25_hot_covered": q_fts_hot_covered,
         "trigram_document_frequency": q_trigram_df,
         "doc_digest_fingerprint": q_doc_digest,
         "dedup_exact": q_dedup_exact,
@@ -1291,6 +1327,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_named_branch": _bm25_sql(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _bm25_sql(["customer query"], named=False, top_k=K_ALL),
         "fts_bm25_index_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
+        "fts_bm25_hot_covered": _bm25_sql(["table", "merge"], named=False,
+                                          top_k=K_ALL),
         "trigram_document_frequency": TRIGRAM_DF_SQL,
         "doc_digest_fingerprint": DOC_DIGEST_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
