@@ -228,3 +228,89 @@ def test_manifest_without_data_is_ignored(spark, tmp_path):
     reopened = FtsIndex(spark, idx_dir)  # must not raise
     assert reopened.phrase_dfs == {}
     assert reopened.search("hello world", 5).count() >= 0
+
+
+def test_covered_block_frame_prunes_and_stays_exact(spark, tmp_path, monkeypatch):
+    """The lazy-verification loop's pruning branches (ub-ordered
+    batches, in-batch dead filtering, early break) only ENGAGE on
+    blocks larger than one batch — build a 4,000-doc single-block
+    index with strong dl variance, drive _covered_block_frame
+    directly, and assert (a) results identical to the uncovered
+    machinery + driver tail, (b) position verification actually
+    skipped most candidates."""
+    import pyarrow.parquet as pq
+
+    import codebased_spark.operators.query as q
+    from codebased_spark.functions.fts5 import idf as idf_fn
+    from codebased_spark.functions.fts5 import phrase_terms
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    n = 4000
+    rows_in = [
+        (
+            "r1",
+            f"f{i:05d}.txt",
+            "c" * 40,
+            "text",
+            # every doc matches "hello world"; tf and dl vary so the
+            # ub ranks discriminate and thresholds converge fast
+            ("hello world " * (1 + i % 7)) + ("filler pad " * (i % 97)),
+        )
+        for i in range(n)
+    ]
+    idx_dir = str(tmp_path / "bigblock")
+    index = build_index(
+        spark, spark.createDataFrame(rows_in, CORPUS_SCHEMA), idx_dir,
+        num_blocks=1)
+    assert len(index.posting_files) >= 1
+
+    phrases = ["hello world"]
+    term_ids = [phrase_terms(p) for p in phrases]
+    needed = sorted({t for ts in term_ids for t in ts})
+
+    def load_rows():
+        out = {}
+        for _pb, path in index.posting_files:
+            t = pq.read_table(
+                path, filters=[("term", "in", list(needed))],
+                columns=q._POSTING_READ_COLUMNS,
+            ).to_pandas()
+            for _, r in t.iterrows():
+                out[(int(r["term"]), int(r["col"]))] = q._Row(r)
+        return out
+
+    top_k = 10
+    # uncovered machinery: stats (global dfs) + full skyband frame
+    stats, frame_plain = q._query_block_frames(
+        load_rows(), term_ids, None, top_k=top_k, avgdl=index.avgdl)
+    dfs = {pi: (da, dn) for pi, da, dn in stats}
+    assert dfs[0][0] == n  # every doc matches
+    idf_all = [idf_fn(index.n_docs, dfs[0][0])]
+    idf_name = [idf_fn(index.n_docs, dfs[0][1]) if dfs[0][1] else 0.0]
+
+    verified = []
+    real_vp = q._verify_positions
+    monkeypatch.setattr(
+        q, "_verify_positions",
+        lambda recs, common: verified.append(common.size) or real_vp(recs, common),
+    )
+    frame_cov = q._covered_block_frame(
+        load_rows(), term_ids, None, idf_all, idf_name, top_k, index.avgdl)
+    monkeypatch.undo()
+    assert frame_cov is not None and frame_plain is not None
+
+    def finish(frame):
+        docs, dl, ta, tn = frame
+        rows = [
+            {"kind": 1, "doc_id": int(d), "dl": int(l),
+             "tfs_all": list(a), "tfs_name": list(b)}
+            for d, l, a, b in zip(docs, dl, ta, tn)
+        ]
+        return q._finish_rows(rows, 1, index.n_docs, index.avgdl, top_k,
+                              dfs_override=[dfs[0]])
+
+    assert finish(frame_cov) == finish(frame_plain)  # exact same top-k
+    # the whole point: most of the 4,000 candidates were never
+    # position-verified (per-column sums; each column counts once)
+    assert verified and sum(verified) < n  # pruning engaged
+    assert sum(verified) <= 4 * max(4 * top_k, 256)  # a few batches at most
