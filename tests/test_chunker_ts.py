@@ -217,3 +217,98 @@ def test_fake_matcher_handles_query_constructs():
     got = qr.matches(without)
     assert len(got) == 1 and got[0][1]["name"][0] is ty
     assert got[0][1]["definition.struct.impl"][0] is without
+
+
+# ---------------------------------------------------------------------------
+# Recorded REAL-grammar goldens (VERDICT r04 #2): tools/record_ts_goldens.py,
+# run once in any wheel-bearing environment, writes tests/goldens_ts/*.json.
+# Wherever a recording exists this test pins the grammar path against REAL
+# tree-sitter output — via real wheels when installed, via the ast-backed
+# fake runtime for python fixtures otherwise (the double is thereby held to
+# the real runtime's answers, not its own).
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+from tests.ts_fixture_sources import FIXTURES, obj_record
+
+_GOLDENS_TS_DIR = os.path.join(os.path.dirname(__file__), "goldens_ts")
+_RECORDED = sorted(
+    f[:-5] for f in os.listdir(_GOLDENS_TS_DIR) if f.endswith(".json")
+) if os.path.isdir(_GOLDENS_TS_DIR) else []
+
+
+def test_fixture_langs_are_dispatchable():
+    """Every capture fixture names a language the grammar path can
+    actually serve (tag query + grammar-module mapping exist), so the
+    capture tool records the full set the moment wheels appear."""
+    from codebased_spark.operators.chunker_ts import _GRAMMAR_MODULES
+
+    for key, (_path, lang, src) in FIXTURES.items():
+        assert lang in TAG_QUERIES, key
+        assert lang in _GRAMMAR_MODULES, key
+        assert src.strip(), key
+
+
+@pytest.mark.skipif(HAVE_TREE_SITTER, reason="environment has real wheels")
+def test_record_tool_refuses_without_wheels():
+    """tools/record_ts_goldens.py must exit 2 with a clear message in a
+    wheel-less environment (misuse is loud, never a silent no-op)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "record_ts_goldens.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 2
+    assert "wheel-bearing" in out.stderr
+
+
+# empty parameter set -> one consolidated skip: this sandbox has no
+# tree-sitter wheels and installs are not permitted; capture once via
+# tools/record_ts_goldens.py in a wheel-bearing environment and check
+# tests/goldens_ts/*.json in — each recording then pins here.
+@pytest.mark.parametrize("key", _RECORDED)
+def test_recorded_real_goldens(key, monkeypatch):
+    path, lang, src = FIXTURES[key]
+    golden_path = os.path.join(_GOLDENS_TS_DIR, f"{key}.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert golden["lang"] == lang
+
+    if HAVE_TREE_SITTER and have_grammar(lang):
+        pass  # real runtime, compare directly
+    elif lang == "python":
+        # replay through the ast-backed double: the double must
+        # reproduce the REAL runtime's recorded answers
+        import sys
+        import types
+
+        import tests.fake_tree_sitter as fts
+
+        mod_ts = types.ModuleType("tree_sitter")
+        mod_ts.Language = fts.Language
+        mod_ts.Parser = fts.Parser
+        mod_py = types.ModuleType("tree_sitter_python")
+        mod_py.language = fts.python_language
+        monkeypatch.setitem(sys.modules, "tree_sitter", mod_ts)
+        monkeypatch.setitem(sys.modules, "tree_sitter_python", mod_py)
+        import codebased_spark.operators.chunker_ts as ts
+
+        ts._impl.cache_clear()
+    else:
+        pytest.skip(
+            f"recorded golden for {key} present but no {lang} runtime in "
+            "this environment (re-verified wherever wheels exist)")
+
+    try:
+        objs = extract_objects_ts(lang, src)
+        assert objs is not None
+        assert [obj_record(o) for o in objs] == golden["objects"]
+    finally:
+        import codebased_spark.operators.chunker_ts as ts
+
+        ts._impl.cache_clear()
