@@ -180,6 +180,41 @@ ORDER BY df DESC, trigram LIMIT 40
 """
 
 
+def q_hot_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest-keyed hot-phrase miner (operators/phrasedf.py
+    top_ngrams_df): top-64 case-folded word unigrams+bigrams by
+    frequency, shuffling 8-byte xxhash64 keys instead of phrase text
+    (VERDICT r04 #4); the oracle recomputes the same top-64 directly
+    from the text so the two-pass digest pruning is value-checked."""
+    from codebased_spark.operators.phrasedf import top_ngrams_df
+
+    return top_ngrams_df(
+        _documents(spark, sf_dir), top_n=64, text_col="text", key="digest")
+
+
+HOT_PHRASE_MINING_SQL = r"""
+WITH docs AS (
+  SELECT regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS ws
+  FROM documents
+),
+nums AS (
+  SELECT unnest(range(1, 1 + (SELECT max(len(ws)) FROM docs))) AS i
+),
+uni AS (SELECT unnest(ws) AS phrase FROM docs),
+bi AS (
+  SELECT d.ws[n.i] || ' ' || d.ws[n.i + 1] AS phrase
+  FROM docs d JOIN nums n ON n.i <= len(d.ws) - 1
+),
+allg AS (SELECT phrase FROM uni UNION ALL SELECT phrase FROM bi)
+SELECT phrase, count(*) AS n
+FROM allg
+WHERE length(phrase) >= 3
+GROUP BY phrase
+ORDER BY n DESC, phrase ASC
+LIMIT 64
+"""
+
+
 def q_doc_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from codebased_spark.operators.textops import trigram_fingerprint
 
@@ -1283,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_index_path": q_fts_index_path,
         "fts_bm25_hot_covered": q_fts_hot_covered,
         "trigram_document_frequency": q_trigram_df,
+        "hot_phrase_mining": q_hot_phrase_mining,
         "doc_digest_fingerprint": q_doc_digest,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix_key": q_dedup_prefix,
@@ -1330,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_hot_covered": _bm25_sql(["table", "merge"], named=False,
                                           top_k=K_ALL),
         "trigram_document_frequency": TRIGRAM_DF_SQL,
+        "hot_phrase_mining": HOT_PHRASE_MINING_SQL,
         "doc_digest_fingerprint": DOC_DIGEST_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_prefix_key": DEDUP_PREFIX_SQL,

@@ -125,6 +125,11 @@ def main() -> None:
     # total_sec must keep meaning build + 6 uncovered queries + batch
     total = round(time.time() - t0, 3)
 
+    # SPARK_GRAFT_BENCH_LITE=1 stops here (primary metrics only): the
+    # scaling harness compares build throughput across core counts and
+    # the hot/mined sections below would only stretch its 1-core legs
+    lite = os.environ.get("SPARK_GRAFT_BENCH_LITE") == "1"
+
     # hot-phrase df side table (operators/phrasedf.py): build it for
     # the bench phrases (the operational model: a query log's hot set),
     # then time the same queries on the covered multi-trigram-WAND
@@ -133,21 +138,59 @@ def main() -> None:
     from codebased_spark.functions.fts5 import query_phrases
     from codebased_spark.operators.phrasedf import build_phrase_df
 
-    hot = sorted({p for q in QUERIES.values() for p in query_phrases(q)})
-    tp = time.time()
-    build_phrase_df(spark, index, hot)
-    phrase_df_sec = round(time.time() - tp, 3)
-    index._search_cache.clear()
-    q_hot: dict[str, float] = {}
-    for name, q in QUERIES.items():
-        t = time.time()
-        index.search(q, 32).collect()
-        q_hot[name] = round(time.time() - t, 3)
-    tb = time.time()
-    index.search_batch(list(QUERIES.values()), 32).count()
-    batch_hot_sec = round(time.time() - tb, 3)
-    hot_lat = sorted(q_hot.values())
-    p50_hot = hot_lat[len(hot_lat) // 2]
+    extra: dict = {}
+    if not lite:
+        hot = sorted({p for q in QUERIES.values() for p in query_phrases(q)})
+        tp = time.time()
+        build_phrase_df(spark, index, hot)
+        phrase_df_sec = round(time.time() - tp, 3)
+        index._search_cache.clear()
+        q_hot: dict[str, float] = {}
+        for name, q in QUERIES.items():
+            t = time.time()
+            index.search(q, 32).collect()
+            q_hot[name] = round(time.time() - t, 3)
+        tb = time.time()
+        index.search_batch(list(QUERIES.values()), 32).count()
+        batch_hot_sec = round(time.time() - tb, 3)
+        hot_lat = sorted(q_hot.values())
+        extra.update({
+            "queries_hot_phrase_df": q_hot,
+            "p50_hot_sec": hot_lat[len(hot_lat) // 2],
+            "phrase_df_build_sec": phrase_df_sec,
+            "batch6_hot_total_sec": batch_hot_sec,
+        })
+
+        # operational default (VERDICT r04 #8): the hot set MINED from
+        # the corpus itself (digest-keyed; no query oracle), as a
+        # deployment would bootstrap before query-log traffic exists.
+        # Bench queries whose every phrase landed in the mined top-64
+        # take the covered path; the rest fall back — the artifact
+        # records which.
+        from codebased_spark.operators.phrasedf import hot_phrases_from_corpus
+
+        tm = time.time()
+        mined = hot_phrases_from_corpus(corpus, top_n=64)
+        mine_sec = round(time.time() - tm, 3)
+        tp = time.time()
+        build_phrase_df(spark, index, mined)
+        mined_table_sec = round(time.time() - tp, 3)
+        mined_covered = sorted(
+            name for name, q in QUERIES.items()
+            if index._covering_dfs(q) is not None)
+        index._search_cache.clear()
+        q_mined: dict[str, float] = {}
+        for name, q in QUERIES.items():
+            t = time.time()
+            index.search(q, 32).collect()
+            q_mined[name] = round(time.time() - t, 3)
+        extra["mined_hot_phrases"] = {
+            "mine_sec": mine_sec,
+            "table_build_sec": mined_table_sec,
+            "n_phrases": len(mined),
+            "covered_queries": mined_covered,
+            "queries": q_mined,
+        }
 
     lat = sorted(q_times.values())
     p50 = lat[len(lat) // 2]
@@ -183,10 +226,7 @@ def main() -> None:
                 "p50_query_sec": p50,
                 "batch6_total_sec": batch_sec,
                 "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
-                "queries_hot_phrase_df": q_hot,
-                "p50_hot_sec": p50_hot,
-                "phrase_df_build_sec": phrase_df_sec,
-                "batch6_hot_total_sec": batch_hot_sec,
+                **extra,
                 "cpus": cpus,
                 **hw,
                 **first_contact,

@@ -49,33 +49,112 @@ PHRASE_DF_DIR = "phrase_df"
 PHRASE_DF_MANIFEST = "phrase_df"
 
 
+def _corpus_ngrams(
+    corpus: DataFrame, text_col: str, ngrams: tuple[int, ...]
+) -> DataFrame:
+    """One ``phrase`` row per case-folded word n-gram of the corpus for
+    each n in ``ngrams`` (phrases under 3 chars — untrigrammable — are
+    dropped). Unigrams matter for coverage: an UNQUOTED multi-word
+    query parses to one single-word phrase per word, so a bigram-only
+    hot set can never cover it."""
+    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+
+    def ngram_expr(n: int):
+        # the transform lambda must be unary (pyspark derives the
+        # higher-order function's arity from the signature) — bind n
+        # via closure, never a default arg
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    parts = [w if n == 1 else ngram_expr(n) for n in ngrams]
+    allgrams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return (
+        corpus.select(F.explode(allgrams).alias("phrase"))
+        .filter(F.length("phrase") >= 3)
+    )
+
+
 def hot_phrases_from_corpus(
-    corpus: DataFrame, top_n: int = 64, text_col: str = "content"
+    corpus: DataFrame,
+    top_n: int = 64,
+    text_col: str = "content",
+    key: str = "digest",
+    ngrams: tuple[int, ...] = (1, 2),
 ) -> list[str]:
     """Stand-in for query-log mining: the ``top_n`` most frequent
-    case-folded word bigrams of the corpus (one groupBy; phrases under
-    3 chars — untrigrammable — are dropped). Real deployments should
+    case-folded word n-grams (default: unigrams + bigrams, ranked
+    together by frequency) of the corpus. Real deployments should
     feed :func:`build_phrase_df` their query log's hot phrases
     instead; this helper exists so the table can be bootstrapped
-    before any traffic arrives."""
-    w = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    rows = (
-        corpus.select(F.explode(bigrams).alias("phrase"))
-        .filter(F.length("phrase") >= 3)
+    before any traffic arrives.
+
+    ``key='digest'`` (default) shuffles 8-byte ``xxhash64`` keys, never
+    phrase text (the same fix trainprep's n-gram ops got — VERDICT r04
+    #4): pass 1 counts per digest and collects only the candidate
+    digests at/above the top-``top_n`` boundary count; pass 2 re-counts
+    BY TEXT among candidates only (a map-side hash filter, then a
+    shuffle whose cardinality is the candidate set, not the corpus) and
+    applies the exact (count desc, phrase asc) tie-break. Digest counts
+    can only over-count a phrase (collisions merge), so the candidate
+    set is a superset of the true top-N and pass 2's exact re-count
+    restores equality with ``key='text'`` (pinned by test). The only
+    theoretical divergence is a collision inflating the boundary count
+    itself (~2^-64 per pair). ``key='text'`` is the direct one-pass
+    groupBy on phrase strings — fine at bench scale, a corpus-wide
+    text-key shuffle at 100 TB."""
+    rows = top_ngrams_df(corpus, top_n, text_col, key, ngrams).collect()
+    return [r["phrase"] for r in rows]
+
+
+def top_ngrams_df(
+    corpus: DataFrame,
+    top_n: int = 64,
+    text_col: str = "content",
+    key: str = "digest",
+    ngrams: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """The mined hot set as a (phrase, n) DataFrame, most-frequent
+    first — the plan behind :func:`hot_phrases_from_corpus` (see its
+    docstring for the digest-vs-text shuffle analysis). Exposed
+    separately so the miner itself sits under the cross-engine value
+    oracle (__spark_entry__ ``hot_phrase_mining``)."""
+    bg = _corpus_ngrams(corpus, text_col, tuple(ngrams))
+    if key == "text":
+        return (
+            bg.groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("phrase"))
+            .limit(top_n)
+        )
+    if key != "digest":
+        raise ValueError(f"key must be 'digest' or 'text', got {key!r}")
+    dcounts = (
+        bg.select(F.xxhash64("phrase").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    head = dcounts.orderBy(F.desc("n"), F.asc("d")).limit(top_n).collect()
+    if not head:
+        return bg.groupBy("phrase").agg(F.count(F.lit(1)).alias("n")).limit(0)
+    boundary = min(int(r["n"]) for r in head)
+    # every digest at/above the boundary count (ties included), capped
+    # far above top_n so a degenerate corpus can't flood the driver
+    cand = dcounts.filter(F.col("n") >= boundary).select("d").limit(
+        max(16 * top_n, 1024)).collect()
+    cand_digests = [int(r["d"]) for r in cand]
+    return (
+        bg.filter(F.xxhash64("phrase").isin(cand_digests))
         .groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("phrase"))
         .limit(top_n)
-        .collect()
     )
-    return [r["phrase"] for r in rows]
 
 
 def _phrase_stats_fn(phrases_terms, needed, deletes_dir):

@@ -53,15 +53,27 @@ def incremental_update(
     num_blocks: int | None = None,
     force_jvm: bool = False,
     force_generic_scan: bool = False,
+    rebuild_phrase_df: bool = False,
 ) -> FtsIndex:
     """Apply a corpus batch to an existing index. Returns the reloaded
     index. ``full_snapshot=True`` additionally tombstones every stored
     path that is absent from the batch (delete-not-visited).
     ``force_jvm``/``force_generic_scan`` apply to both the working and
     the returned index handle (a caller that opted out of the pyarrow
-    fast path must not get it silently re-enabled by a commit)."""
+    fast path must not get it silently re-enabled by a commit).
+
+    ``rebuild_phrase_df=True`` re-materializes the hot-phrase df side
+    table (operators/phrasedf.py) from the PRIOR generation's phrase
+    list after the commit swap: without it, the first commit on a busy
+    index silently drops the multi-trigram latency lever until an
+    operator re-runs build_phrase_df by hand (VERDICT r04 #3). The
+    rebuild runs strictly AFTER the commit manifest lands — a crash
+    during it leaves a committed index with no side table, which
+    queries handle (uncovered path), never a stale-df table (the
+    fingerprint check is the backstop either way)."""
     idx = FtsIndex(spark, index_dir, force_jvm=force_jvm,
                    force_generic_scan=force_generic_scan)
+    prior_phrases = list(idx.phrase_dfs) if rebuild_phrase_df else []
     all_stored = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
     # the sha gate and the delete sweep must see LIVE docs only: stale
     # doc_stats rows (already tombstoned) would otherwise both mask real
@@ -187,8 +199,13 @@ def incremental_update(
         )
     finally:
         new_files.unpersist()
-    return FtsIndex(spark, index_dir, force_jvm=force_jvm,
-                    force_generic_scan=force_generic_scan)
+    out = FtsIndex(spark, index_dir, force_jvm=force_jvm,
+                   force_generic_scan=force_generic_scan)
+    if prior_phrases and (n_add or n_dead):
+        from codebased_spark.operators.phrasedf import build_phrase_df
+
+        build_phrase_df(spark, out, prior_phrases)
+    return out
 
 
 def tombstone_ratio(index: FtsIndex) -> float:
@@ -206,6 +223,7 @@ def compact_index(
     corpus: DataFrame,
     num_blocks: int | None = None,
     chunk: bool = False,
+    rebuild_phrase_df: bool = False,
 ) -> FtsIndex:
     """The FTS5 'optimize' analogue (codebased/index.py:670): rebuild
     the index from the current corpus into a staging dir, then swap it
@@ -222,6 +240,7 @@ def compact_index(
     from codebased_spark.plans.engine import build_index
 
     idx = FtsIndex(spark, index_dir)
+    prior_phrases = list(idx.phrase_dfs) if rebuild_phrase_df else []
     fs = idx.fs
     staging = index_dir.rstrip("/") + ".compact"
     fs.delete(staging)
@@ -242,6 +261,10 @@ def compact_index(
         fs.rename(backup, index_dir)
         raise
     fs.delete(backup)
+    if prior_phrases:
+        from codebased_spark.operators.phrasedf import build_phrase_df
+
+        build_phrase_df(spark, out, prior_phrases)
     return out
 
 

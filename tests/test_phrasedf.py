@@ -314,3 +314,91 @@ def test_covered_block_frame_prunes_and_stays_exact(spark, tmp_path, monkeypatch
     # position-verified (per-column sums; each column counts once)
     assert verified and sum(verified) < n  # pruning engaged
     assert sum(verified) <= 4 * max(4 * top_k, 256)  # a few batches at most
+
+
+def test_hot_phrases_digest_matches_text(spark):
+    """VERDICT r04 #4: the digest-keyed miner (8-byte xxhash64 shuffle
+    keys, text recovered only for boundary candidates) must return the
+    exact top-N the text-keyed one-pass groupBy returns, including the
+    (count desc, phrase asc) tie-break."""
+    from codebased_spark.sources.corpus import gen_corpus
+
+    for corpus in (fixture_corpus(spark), gen_corpus(spark, n_repos=20,
+                                                     files_per_repo=10)):
+        for top_n in (8, 64):
+            for ngrams in ((1, 2), (2,)):
+                via_text = hot_phrases_from_corpus(
+                    corpus, top_n=top_n, key="text", ngrams=ngrams)
+                via_digest = hot_phrases_from_corpus(
+                    corpus, top_n=top_n, key="digest", ngrams=ngrams)
+                assert via_digest == via_text
+                if 1 not in ngrams:
+                    assert all(" " in p for p in via_text)
+    with pytest.raises(ValueError):
+        hot_phrases_from_corpus(fixture_corpus(spark), key="md5")
+
+
+def test_incremental_rebuild_phrase_df(spark, tmp_path):
+    """VERDICT r04 #3: rebuild_phrase_df=True on incremental_update
+    re-materializes the side table from the prior generation's phrase
+    list after the commit, so a covered query STILL takes the covered
+    path (without it the first commit silently drops the lever), with
+    dfs correct for the NEW corpus generation."""
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+    from codebased_spark.streaming.incremental import (
+        compact_index,
+        incremental_update,
+    )
+
+    v1 = [
+        ("r1", "a.py", "c" * 40, "python", 'print("hello world")'),
+        ("r1", "b.py", "c" * 40, "python", 'print("hello again world")'),
+        ("r1", "c.md", "c" * 40, "text", "hello hello world hello world"),
+    ]
+    idx_dir = str(tmp_path / "auto_idx")
+    index = build_index(
+        spark, spark.createDataFrame(v1, CORPUS_SCHEMA), idx_dir, num_blocks=2)
+    build_phrase_df(spark, index, ["hello world", "hello"])
+
+    # delete b.py with the opt-in: the returned index is covered again
+    index2 = incremental_update(
+        spark, idx_dir,
+        spark.createDataFrame([v1[0], v1[2]], CORPUS_SCHEMA),
+        full_snapshot=True, rebuild_phrase_df=True,
+    )
+    assert index2.phrase_dfs  # table rebuilt, not silently dropped
+    assert index2.phrase_dfs["hello world"] == (2, 0)  # new-generation df
+    # quoted -> ONE phrase, present in the table -> covered path engages
+    # (unquoted "hello world" is two single-word phrases; "world" is not
+    # in the hot set, so that shape correctly stays uncovered)
+    assert index2._covering_dfs('"hello world" hello') is not None
+    assert index2._covering_dfs("hello world") is None
+    reopened = FtsIndex(spark, idx_dir)  # fingerprint matches on reload
+    assert reopened.phrase_dfs == index2.phrase_dfs
+    plain = FtsIndex(spark, idx_dir)
+    plain.phrase_dfs = {}
+    for q in ["hello world", '"hello world" hello']:
+        assert _hits(reopened.search(q, 10)) == _hits(plain.search(q, 10)), q
+
+    # a no-op batch (same shas) must NOT drop or rebuild the table
+    table_before = dict(index2.phrase_dfs)
+    index3 = incremental_update(
+        spark, idx_dir,
+        spark.createDataFrame([v1[0], v1[2]], CORPUS_SCHEMA),
+        full_snapshot=True, rebuild_phrase_df=True,
+    )
+    assert index3.phrase_dfs == table_before
+
+    # default stays the documented drop-on-commit behavior
+    index4 = incremental_update(
+        spark, idx_dir, spark.createDataFrame([v1[1]], CORPUS_SCHEMA))
+    assert index4.phrase_dfs == {}
+
+    # compaction with the opt-in carries the table across the dir swap
+    build_phrase_df(spark, index4, ["hello world", "hello"])
+    live = spark.createDataFrame(v1, CORPUS_SCHEMA)
+    index5 = compact_index(spark, idx_dir, live, rebuild_phrase_df=True)
+    assert index5.phrase_dfs
+    # a.py + c.md match; b.py ("hello again world") has no "hello world"
+    assert index5.phrase_dfs["hello world"] == (2, 0)
+    assert index5.phrase_dfs["hello"] == (3, 0)  # all three contain "hello"

@@ -4,6 +4,14 @@ latency (cold path and phrase-df-covered path), WHICH tail each query
 took (driver vs JVM), and the candidate-row count the driver pulled —
 the honest sandbox proxy for "would these plans survive 100x".
 
+Hot-vs-cold comparison is INTERLEAVED per query (hot first, then cold,
+3 reps each, best-of per arm) rather than sequential passes: this VM's
+throughput drifts monotonically within a session (BENCH.md "host
+collapse"), so sequential pass ordering confounds path cost with host
+drift — r04's artifact showed the covered path "losing" at 1M purely
+because the hot pass ran second (VERDICT r04 #1). numpy probes bracket
+each scale so the window's health is in the artifact.
+
 Usage: python tools/scale_demo.py [n_files ...]   (default: 200000 1000000)
 Env:   SPARK_GRAFT_CPUS (default 32)
 
@@ -96,31 +104,51 @@ def main() -> None:
         index.search("warmup", 10).collect()
         index.search("warm once more", 10).collect()
 
-        def run(queries):
-            out = {}
-            for name, qq in queries.items():
-                tails.clear()
-                t = time.time()
-                index.search(qq, 32).collect()
-                sec = round(time.time() - t, 3)
-                tail, cand_rows = tails[-1] if tails else ("none", None)
-                out[name] = {"sec": sec, "tail": tail, "cand_rows": cand_rows}
-            return out
-
-        cold = run(QUERIES)
         hot_phrases = sorted(
             {p for qq in QUERIES.values() for p in query_phrases(qq)})
         tp = time.time()
         build_phrase_df(spark, index, hot_phrases)
         phrase_df_sec = round(time.time() - tp, 3)
-        index._search_cache.clear()
-        hot = run(QUERIES)
-        # second cold pass brackets host drift (this VM swings 2x
-        # within a session): compare hot against min(cold, cold2)
-        index.phrase_dfs = {}
-        index._search_cache.clear()
-        cold2 = run(QUERIES)
+        saved_dfs = dict(index.phrase_dfs)
 
+        def probe() -> float:
+            import numpy as np
+
+            a = np.random.default_rng(0).integers(
+                0, 1 << 62, size=8_000_000, dtype=np.int64)
+            t = time.time()
+            np.sort(a)
+            return round(time.time() - t, 3)
+
+        def timed(qq: str) -> tuple[float, tuple[str, int | None]]:
+            index._search_cache.clear()
+            tails.clear()
+            t = time.time()
+            index.search(qq, 32).collect()
+            return round(time.time() - t, 3), (
+                tails[-1] if tails else ("none", None))
+
+        probe_before = probe()
+        reps = 3
+        cold, hot = {}, {}
+        for name, qq in QUERIES.items():
+            hot_secs, cold_secs = [], []
+            hot_meta = cold_meta = ("none", None)
+            for _ in range(reps):
+                index.phrase_dfs = saved_dfs          # hot arm first
+                sec, hot_meta = timed(qq)
+                hot_secs.append(sec)
+                index.phrase_dfs = {}                 # cold arm
+                sec, cold_meta = timed(qq)
+                cold_secs.append(sec)
+            hot[name] = {"sec": min(hot_secs), "reps": hot_secs,
+                         "tail": hot_meta[0], "cand_rows": hot_meta[1]}
+            cold[name] = {"sec": min(cold_secs), "reps": cold_secs,
+                          "tail": cold_meta[0], "cand_rows": cold_meta[1]}
+        probe_after = probe()
+
+        index.phrase_dfs = saved_dfs
+        index._search_cache.clear()
         tails.clear()
         tb = time.time()
         index.search_batch(list(QUERIES.values()), 32).count()
@@ -139,9 +167,11 @@ def main() -> None:
             "p50_hot_sec": lat_hot[len(lat_hot) // 2],
             "phrase_df_build_sec": phrase_df_sec,
             "batch6_per_query_sec": round(batch_sec / len(QUERIES), 3),
+            "interleaved_reps": reps,
+            "hw_np_sort8M_before_sec": probe_before,
+            "hw_np_sort8M_after_sec": probe_after,
             "queries": cold,
             "queries_hot": hot,
-            "queries_cold2": cold2,
         }), flush=True)
 
     q._finish_driver, q._finish_jvm = orig_fd, orig_fj

@@ -26,6 +26,9 @@ def run_bench(cpus: int, synth_files: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_SYNTH_FILES=str(synth_files),
+        # primary metrics only: the hot/mined phrase sections would
+        # stretch the 1-core legs without informing the scaling ratio
+        SPARK_GRAFT_BENCH_LITE="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
