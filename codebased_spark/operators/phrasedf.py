@@ -157,6 +157,51 @@ def top_ngrams_df(
     )
 
 
+def hot_phrases_from_query_log(queries, top_n: int = 64) -> list[str]:
+    """The hot set mined from REAL traffic — the operational successor
+    to :func:`hot_phrases_from_corpus` once queries exist. Parses each
+    logged query with the engine's own FTS5 parser and ranks the
+    resulting phrases by frequency, (count desc, phrase asc) tie-break;
+    sub-3-char phrases (untrigrammable) are dropped.
+
+    ``queries`` is either an in-memory iterable of query strings
+    (``FtsIndex.query_log`` — a bounded deque the index fills on every
+    search/search_batch) or a DataFrame with a ``query`` column (a
+    persisted log at scale; parsing runs as an Arrow-batched pandas
+    UDF and the shuffle keys are log-sized phrase strings, never
+    corpus-sized — a query log is traffic-bounded, so text keys are
+    fine here)."""
+    from codebased_spark.functions.fts5 import query_phrases
+
+    if isinstance(queries, DataFrame):
+        import pandas as pd  # noqa: F811 (executor-side import parity)
+        from pyspark.sql.functions import pandas_udf
+
+        parse = pandas_udf(
+            lambda qs: qs.map(lambda q: query_phrases(q or "")),
+            "array<string>",
+        )
+        rows = (
+            queries.select(F.explode(parse(F.col("query"))).alias("phrase"))
+            .filter(F.length("phrase") >= 3)
+            .groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("phrase"))
+            .limit(top_n)
+            .collect()
+        )
+        return [r["phrase"] for r in rows]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for q in queries:
+        for p in query_phrases(q or ""):
+            if len(p) >= 3:
+                counts[p] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [p for p, _n in ranked[:top_n]]
+
+
 def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
     """mapInPandas over (pblock, path) shard rows -> one (phrase_idx,
     df_all, df_name) row per phrase per block, via the same
@@ -181,6 +226,11 @@ def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
                 )
                 if tbl.num_rows == 0:
                     continue
+                # iterrows is fine here and stays fine if top_n grows:
+                # the term-filtered read bounds this frame to at most
+                # (#hot phrases x 3 trigrams x 3 cols) posting rows per
+                # block — row count scales with the PHRASE LIST, never
+                # the corpus
                 block = tbl.to_pandas()
                 rows = {
                     (int(r["term"]), int(r["col"])): _Row(r)

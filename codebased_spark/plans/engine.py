@@ -45,6 +45,9 @@ FORMAT_VERSION = 2
 # shard, so the per-query term filter prunes to O(1) row groups; small
 # groups make that pruning fine-grained while keeping footers tiny.
 POSTING_ROW_GROUP_BYTES = 512 * 1024
+# rolling per-index query-log capacity (driver memory: ~a few MB of
+# strings at worst); mining needs frequency ranks, not full history
+QUERY_LOG_MAX = 10_000
 
 
 def _join(base: str, *parts: str) -> str:
@@ -156,6 +159,14 @@ class FtsIndex:
         from codebased_spark.operators.phrasedf import load_phrase_df
 
         self.phrase_dfs: dict[str, tuple[int, int]] = load_phrase_df(spark, self)
+        # rolling query log (driver-side, bounded): the operational
+        # source for hot-phrase mining — phrasedf.hot_phrases_from_
+        # query_log(index.query_log) replaces the corpus-bigram
+        # bootstrap once real traffic exists. A deque so a long-lived
+        # service never grows it unbounded.
+        from collections import deque
+
+        self.query_log: "deque[str]" = deque(maxlen=QUERY_LOG_MAX)
 
     def deletes_df(self) -> "DataFrame | None":
         """Tombstoned doc_ids as a DataFrame (None when absent) — the
@@ -245,6 +256,7 @@ class FtsIndex:
         generic DataFrame scan (same results by test)."""
         from codebased_spark.operators.query import search_index, search_index_files
 
+        self.query_log.append(query)
         key = (query, top_k)
         hit = self._search_cache.get(key)
         if hit is not None:
@@ -285,7 +297,8 @@ class FtsIndex:
 
         if not self.posting_files and self.n_docs:
             # store unreachable from pyarrow: per-query generic scans,
-            # tagged with qid — slower, never wrong
+            # tagged with qid — slower, never wrong (each self.search
+            # call logs its query, so no extend here)
             out = self.spark.createDataFrame(
                 [], "qid int, doc_id long, name_match boolean, rank double, score double"
             )
@@ -295,6 +308,7 @@ class FtsIndex:
                     "doc_id", "name_match", "rank", "score",
                 ))
             return out
+        self.query_log.extend(queries)
         return search_index_files_batch(
             self.spark, self.posting_files, queries, self.n_docs, self.avgdl,
             top_k, deletes_dir=self._task_deletes_dir(),

@@ -275,16 +275,20 @@ def stream_corpus_updates(
     checkpoint_dir: str,
     chunk: bool = False,
     trigger_seconds: float | None = None,
+    rebuild_phrase_df: bool = False,
 ):
     """Structured Streaming wrapper: every micro-batch of corpus rows
     (changed files) is folded into the index via foreachBatch — the
     Spark analogue of the reference's 0.1 s-debounced watchdog loop.
-    Returns the StreamingQuery (caller stops it)."""
+    Returns the StreamingQuery (caller stops it).
+    ``rebuild_phrase_df`` keeps the hot-phrase df side table alive
+    across micro-batch commits (see :func:`incremental_update`)."""
 
     def fold(batch_df: DataFrame, _epoch_id: int):
         if batch_df.isEmpty():
             return
-        incremental_update(spark, index_dir, batch_df, chunk=chunk)
+        incremental_update(spark, index_dir, batch_df, chunk=chunk,
+                           rebuild_phrase_df=rebuild_phrase_df)
 
     w = (
         corpus_stream.writeStream.outputMode("append")

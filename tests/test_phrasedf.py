@@ -402,3 +402,45 @@ def test_incremental_rebuild_phrase_df(spark, tmp_path):
     # a.py + c.md match; b.py ("hello again world") has no "hello world"
     assert index5.phrase_dfs["hello world"] == (2, 0)
     assert index5.phrase_dfs["hello"] == (3, 0)  # all three contain "hello"
+
+
+def test_query_log_mining(spark, indexed):
+    """The operational loop: searches fill FtsIndex.query_log; mining
+    the log yields the frequency-ranked phrase set; building the table
+    from it covers the hot traffic (and the DataFrame variant of the
+    miner agrees with the in-memory one)."""
+    from codebased_spark.operators.phrasedf import hot_phrases_from_query_log
+
+    _index, idx_dir = indexed
+    index = FtsIndex(spark, idx_dir)
+    index.phrase_dfs = {}  # isolate: no coverage yet
+    assert len(index.query_log) == 0
+    traffic = (['"hello world"'] * 5) + (["server started"] * 3) + ["ok"]
+    for q in traffic[:6]:
+        index.search(q, 5)
+    index.search_batch(traffic[6:], 5)
+    assert len(index.query_log) == len(traffic)
+
+    mined = hot_phrases_from_query_log(index.query_log, top_n=4)
+    # "ok" is sub-trigram -> dropped; phrase ranks: hello world (5),
+    # then server started's two single-word phrases (3 each, tie ->
+    # lexicographic)
+    assert mined == ["hello world", "server", "started"]
+
+    log_df = spark.createDataFrame(
+        [(q,) for q in index.query_log], "query string")
+    assert hot_phrases_from_query_log(log_df, top_n=4) == mined
+
+    # close the loop: table from the log covers the hot traffic
+    build_phrase_df(spark, index, mined)
+    assert index._covering_dfs('"hello world"') is not None
+    assert index._covering_dfs("server started") is not None
+    plain = FtsIndex(spark, idx_dir)
+    plain.phrase_dfs = {}
+    for q in ['"hello world"', "server started"]:
+        assert _hits(index.search(q, 10)) == _hits(plain.search(q, 10)), q
+
+    # the log is bounded: a flood never grows it past QUERY_LOG_MAX
+    from codebased_spark.plans.engine import QUERY_LOG_MAX
+
+    assert index.query_log.maxlen == QUERY_LOG_MAX
