@@ -144,7 +144,21 @@ class FtsIndex:
             _join(index_dir, "postings")
         )
         self.doc_stats = spark.read.parquet(_join(index_dir, "doc_stats"))
+        self.postings_bytes = 0
         self.posting_files = self._list_posting_files()
+        # zero-job read-through for small (embedded-regime) indexes:
+        # auto when the whole posting store fits the byte gate; env
+        # SPARK_GRAFT_DRIVER_DIRECT=0/1 forces either way (tests, ops)
+        import os as _os
+
+        from codebased_spark.operators.query import DRIVER_DIRECT_MAX_BYTES
+
+        _dd = _os.environ.get("SPARK_GRAFT_DRIVER_DIRECT")
+        if _dd in ("0", "1"):
+            self.driver_direct = bool(self.posting_files) and _dd == "1"
+        else:
+            self.driver_direct = bool(self.posting_files) and \
+                0 < self.postings_bytes <= DRIVER_DIRECT_MAX_BYTES
         self.deletes_dir = _join(index_dir, "deletes")
         self.has_deletes = self.fs.exists(self.deletes_dir)
         self._deleted = None
@@ -210,12 +224,14 @@ class FtsIndex:
         if self.index_dir.startswith("file:"):
             scheme = "file"
         out = []
+        self.postings_bytes = 0  # total store size: the direct-path gate
         for path, _size in self.fs.list_files(base):
             if not path.endswith(".parquet"):
                 continue
             seg = [s for s in path.split("/") if s.startswith("pblock=")]
             if not seg:
                 continue
+            self.postings_bytes += int(_size or 0)
             pb = int(seg[-1].split("=", 1)[1])
             if scheme == "":
                 out.append((pb, local_path(path)))
@@ -254,14 +270,24 @@ class FtsIndex:
         to the reference's search_once full-text path. Uses the pyarrow
         shard scan when the shard files are directly readable, else the
         generic DataFrame scan (same results by test)."""
-        from codebased_spark.operators.query import search_index, search_index_files
+        from codebased_spark.operators.query import (
+            search_index,
+            search_index_files,
+            search_index_files_direct,
+        )
 
         self.query_log.append(query)
         key = (query, top_k)
         hit = self._search_cache.get(key)
         if hit is not None:
             return hit
-        if self.posting_files:
+        if self.posting_files and self.driver_direct:
+            out = search_index_files_direct(
+                self.spark, self.posting_files, query, self.n_docs, self.avgdl,
+                top_k, deletes_dir=self._task_deletes_dir(),
+                phrase_dfs=self._covering_dfs(query),
+            )
+        elif self.posting_files:
             out = search_index_files(
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
                 top_k, deletes_dir=self._task_deletes_dir(),
@@ -293,7 +319,10 @@ class FtsIndex:
         the whole batch (the shape for offline batch scoring). Returns
         (qid, doc_id, name_match, rank, score); rank-identical per query
         to :meth:`search` (tested)."""
-        from codebased_spark.operators.query import search_index_files_batch
+        from codebased_spark.operators.query import (
+            search_index_files_batch,
+            search_index_files_batch_direct,
+        )
 
         if not self.posting_files and self.n_docs:
             # store unreachable from pyarrow: per-query generic scans,
@@ -309,7 +338,9 @@ class FtsIndex:
                 ))
             return out
         self.query_log.extend(queries)
-        return search_index_files_batch(
+        fn = (search_index_files_batch_direct if self.driver_direct
+              else search_index_files_batch)
+        return fn(
             self.spark, self.posting_files, queries, self.n_docs, self.avgdl,
             top_k, deletes_dir=self._task_deletes_dir(),
             phrase_dfs_by_query={

@@ -537,6 +537,10 @@ def test_tail_bound_routing(spark, built, monkeypatch):
     import codebased_spark.operators.query as q
 
     index, _ = built
+    # this test pins the DISTRIBUTED tail's routing; a fixture-sized
+    # index would otherwise take the zero-job direct path (r5), which
+    # never collects at all
+    monkeypatch.setattr(index, "driver_direct", False)
     single, multi = '"world"', "code hello"
     want = {qq: [(int(r["doc_id"]), bool(r["name_match"]), float(r["rank"]))
                  for r in index.search(qq, 10).collect()]
