@@ -1448,13 +1448,13 @@ def _batch_result_df(spark, out_rows) -> DataFrame:
 # Read-through ceiling for the ZERO-JOB direct path (below): an index
 # whose entire posting store is at most this many bytes is "small" —
 # the embedded-engine regime the reference lives in (ONE repository,
-# "searches in milliseconds", single process). Measured crossover on
-# this class of hardware: direct beats the distributed plan ~2x at
-# ~1-10 MB stores and LOSES 2-3x by ~300 MB (the GIL-bound block
-# machinery stops overlapping once term-filtered reads get big), so
-# the gate sits well below the crossover; above it every query keeps
-# the distributed plan untouched.
-DRIVER_DIRECT_MAX_BYTES = 32 * 1024 * 1024
+# "searches in milliseconds", single process). Measured on this class
+# of hardware (healthy windows): direct wins ~2-4x at a 1.4 MB store
+# (58-158 ms vs 250-331 ms) but already LOSES by a 14 MB store (p50
+# 0.94 s vs 0.66 s — the GIL-bound block machinery can't overlap once
+# term-filtered reads grow), so the gate sits at the conservative end
+# of the crossover; above it every query keeps the distributed plan.
+DRIVER_DIRECT_MAX_BYTES = 4 * 1024 * 1024
 # pyarrow's C++ reader releases the GIL, so a few reader threads
 # overlap I/O+decode without fighting the numpy block machinery
 DRIVER_DIRECT_THREADS = 8
@@ -1481,18 +1481,15 @@ def _direct_pool():
         return _DIRECT_POOL
 
 
-def _direct_candidate_rows(posting_files, term_ids, needed, deletes_dir,
-                           top_k, avgdl, known_idfs):
-    """The pyarrow posting scan executed DRIVER-SIDE: the same task body
-    Spark runs (_file_candidates_fn — identical reads, identical block
-    machinery, identical emission pruning), fed the shard list directly
-    instead of through mapInPandas. Few shards run serially (pool
-    handoff costs more than the scan); more fan out over the shared
-    reader pool (deterministic gather order; each chunk owns its own
-    fs/tombstone caches via its own fn instance)."""
-    fn = lambda chunk: list(  # noqa: E731 - one fn instance per call
-        _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl,
-                            known_idfs)([chunk]))
+def _direct_scan_rows(make_fn, posting_files):
+    """A candidate-scan task body executed DRIVER-SIDE: ``make_fn()``
+    returns the same generator function Spark's mapInPandas would run
+    (identical reads, identical block machinery, identical emission
+    pruning), fed the shard list directly. Few shards run serially
+    (pool handoff costs more than the scan); more fan out over the
+    shared reader pool (deterministic gather order; each chunk owns
+    its own fs/tombstone caches via its own fn instance)."""
+    fn = lambda chunk: list(make_fn()([chunk]))  # noqa: E731
     n_threads = min(DRIVER_DIRECT_THREADS, len(posting_files)) or 1
     chunks = [
         pd.DataFrame(posting_files[i::n_threads], columns=["pblock", "path"])
@@ -1507,6 +1504,15 @@ def _direct_candidate_rows(posting_files, term_ids, needed, deletes_dir,
         for pdf in out:
             rows.extend(pdf.to_dict("records"))
     return rows
+
+
+def _direct_candidate_rows(posting_files, term_ids, needed, deletes_dir,
+                           top_k, avgdl, known_idfs):
+    return _direct_scan_rows(
+        lambda: _file_candidates_fn(term_ids, needed, deletes_dir, top_k,
+                                    avgdl, known_idfs),
+        posting_files,
+    )
 
 
 def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
@@ -1576,16 +1582,49 @@ def search_index_files_batch_direct(
     deletes_dir=None,
     phrase_dfs_by_query: "dict[int, list[tuple[int, int]]] | None" = None,
 ) -> DataFrame:
-    """Batch twin of search_index_files_direct: every query finishes
-    driver-side, one DataFrame materializes the whole batch. Per-query
-    results are bit-identical to search_index_files_batch (tested)."""
-    covered = phrase_dfs_by_query or {}
-    out_rows: list = []
+    """Batch twin of search_index_files_direct: ONE driver-side scan
+    (the same _batch_candidates_fn task body the distributed batch
+    runs — shared shard reads, per-block phrase memo across queries)
+    serves the whole batch, then each query finishes in numpy. One
+    scan for N queries, exactly like the distributed batch's one job;
+    per-query results are bit-identical to search_index_files_batch
+    (tested)."""
+    phrase_dfs_by_query = phrase_dfs_by_query or {}
+    parsed = []
     for qi, q in enumerate(queries):
-        final, _n_ph = _direct_query_rows(
-            q, posting_files, n_docs, avgdl, top_k, deletes_dir,
-            covered.get(qi))
-        out_rows.extend((qi, d, nm, rk, -rk) for d, nm, rk in final)
+        phrases = query_phrases(q)
+        if not (phrases and not any(len(p) < 3 for p in phrases) and n_docs):
+            continue
+        pdfs = phrase_dfs_by_query.get(qi)
+        if pdfs is not None and any(da == 0 for da, _dn in pdfs):
+            continue  # covered query whose phrase matches nothing -> no rows
+        parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
+    if not parsed or not posting_files:
+        return _batch_result_df(spark, [])
+    known_idfs_by_qid = {
+        qi: (
+            [idf_fn(n_docs, da) for da, _ in phrase_dfs_by_query[qi]],
+            [idf_fn(n_docs, dn) if dn else 0.0
+             for _, dn in phrase_dfs_by_query[qi]],
+        )
+        for qi, _, _ in parsed
+        if qi in phrase_dfs_by_query
+    }
+    needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
+    rows = _direct_scan_rows(
+        lambda: _batch_candidates_fn(
+            [(qi, tids) for qi, _, tids in parsed], needed, deletes_dir,
+            top_k, avgdl, known_idfs_by_qid),
+        posting_files,
+    )
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["qid"]), []).append(r)
+    out_rows: list = []
+    for qi, phrases, _tids in parsed:
+        fin = _finish_rows(by_q.get(qi, []), len(phrases), n_docs, avgdl,
+                           top_k, phrase_dfs_by_query.get(qi))
+        out_rows.extend((qi, d, nm, rk, -rk) for d, nm, rk in fin)
     return _batch_result_df(spark, out_rows)
 
 # Guards the session-conf set/restore in _collect_bounded: two
