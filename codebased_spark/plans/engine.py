@@ -328,9 +328,9 @@ class FtsIndex:
             # store unreachable from pyarrow: per-query generic scans,
             # tagged with qid — slower, never wrong (each self.search
             # call logs its query, so no extend here)
-            out = self.spark.createDataFrame(
-                [], "qid int, doc_id long, name_match boolean, rank double, score double"
-            )
+            from codebased_spark.operators.query import _batch_result_df
+
+            out = _batch_result_df(self.spark, [])
             for qi, q in enumerate(queries):
                 out = out.unionAll(self.search(q, top_k).select(
                     F.lit(qi).cast("int").alias("qid"),
