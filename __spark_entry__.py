@@ -571,6 +571,9 @@ def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = tempfile.mkdtemp(prefix="gate_fts_idx_")
     try:
         index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        # this entry pins the DISTRIBUTED plan (the gate corpus is small
+        # enough to auto-route direct, which has its own entry below)
+        index.driver_direct = False
         hits = index.search('"value"', K_ALL)
         out = (
             index.doc_stats.select("doc_id", "path")
@@ -605,9 +608,44 @@ def q_fts_hot_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = tempfile.mkdtemp(prefix="gate_fts_hot_")
     try:
         index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        index.driver_direct = False  # pin the DISTRIBUTED covered plan
         build_phrase_df(spark, index, ["table", "merge"])
         assert index._covering_dfs("table merge") is not None  # covered
         hits = index.search("table merge", K_ALL)
+        out = (
+            index.doc_stats.select("doc_id", "path")
+            .join(F.broadcast(hits), "doc_id")
+            .select(
+                F.substring("path", 2, 9).cast("long").alias("doc_id"),
+                "name_match",
+                F.round("score", 6).alias("score"),
+            )
+        )
+        rows = out.collect()  # materialize before the tmp dir is removed
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
+
+
+def q_fts_direct_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-JOB driver-direct read-through under the oracle (r5):
+    the same real index as fts_bm25_index_path, searched with
+    driver_direct forced ON (operators/query.search_index_files_direct
+    — driver-side pyarrow scan of the same task body, numpy scoring,
+    Arrow result relation, no Spark job). Same oracle SQL as
+    fts_bm25_index_path: cross-engine proof the small-index fast path
+    changes execution, not values."""
+    import shutil
+    import tempfile
+
+    from codebased_spark.plans.engine import build_index
+
+    corpus = _documents_as_index_corpus(_documents(spark, sf_dir))
+    idx_dir = tempfile.mkdtemp(prefix="gate_fts_direct_")
+    try:
+        index = build_index(spark, corpus, idx_dir, num_blocks=8)
+        index.driver_direct = True
+        hits = index.search('"value"', K_ALL)
         out = (
             index.doc_stats.select("doc_id", "path")
             .join(F.broadcast(hits), "doc_id")
@@ -1316,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_named_branch": _fts_query(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _fts_query(["customer query"], named=False, top_k=K_ALL),
         "fts_bm25_index_path": q_fts_index_path,
+        "fts_bm25_direct_path": q_fts_direct_path,
         "fts_bm25_hot_covered": q_fts_hot_covered,
         "trigram_document_frequency": q_trigram_df,
         "hot_phrase_mining": q_hot_phrase_mining,
@@ -1363,6 +1402,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_named_branch": _bm25_sql(["table"], named=True, top_k=K_ALL),
         "fts_bm25_rare_phrase": _bm25_sql(["customer query"], named=False, top_k=K_ALL),
         "fts_bm25_index_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
+        # same oracle: the direct path must be value-identical
+        "fts_bm25_direct_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
         "fts_bm25_hot_covered": _bm25_sql(["table", "merge"], named=False,
                                           top_k=K_ALL),
         "trigram_document_frequency": TRIGRAM_DF_SQL,

@@ -103,9 +103,13 @@ def hot_phrases_from_corpus(
     applies the exact (count desc, phrase asc) tie-break. Digest counts
     can only over-count a phrase (collisions merge), so the candidate
     set is a superset of the true top-N and pass 2's exact re-count
-    restores equality with ``key='text'`` (pinned by test). The only
-    theoretical divergence is a collision inflating the boundary count
-    itself (~2^-64 per pair). ``key='text'`` is the direct one-pass
+    restores equality with ``key='text'`` (pinned by test). When the
+    boundary tie itself floods past the driver cap (boundary≈1 — tiny
+    or degenerate corpora where most n-grams are unique), the miner
+    falls back to the exact text path rather than truncate the
+    candidate set, so digest-vs-text equality holds unconditionally.
+    The only theoretical divergence is a collision inflating the
+    boundary count itself (~2^-64 per pair). ``key='text'`` is the direct one-pass
     groupBy on phrase strings — fine at bench scale, a corpus-wide
     text-key shuffle at 100 TB."""
     rows = top_ngrams_df(corpus, top_n, text_col, key, ngrams).collect()
@@ -138,16 +142,32 @@ def top_ngrams_df(
         bg.select(F.xxhash64("phrase").alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    head = dcounts.orderBy(F.desc("n"), F.asc("d")).limit(top_n).collect()
-    if not head:
-        return bg.groupBy("phrase").agg(F.count(F.lit(1)).alias("n")).limit(0)
-    boundary = min(int(r["n"]) for r in head)
-    # every digest at/above the boundary count (ties included), capped
-    # far above top_n so a degenerate corpus can't flood the driver
-    cand = dcounts.filter(F.col("n") >= boundary).select("d").limit(
-        max(16 * top_n, 1024)).collect()
-    cand_digests = [int(r["d"]) for r in cand]
+    ).persist()  # two driver pulls below — never re-run the expansion
+    try:
+        head = dcounts.orderBy(F.desc("n"), F.asc("d")).limit(top_n).collect()
+        if not head:
+            return bg.groupBy("phrase").agg(
+                F.count(F.lit(1)).alias("n")).limit(0)
+        boundary = min(int(r["n"]) for r in head)
+        # every digest at/above the boundary count (ties included) is a
+        # candidate. The driver pull is capped — but an arbitrary subset
+        # of a tied flood would break the superset guarantee (and
+        # text-mode equality), so a corpus whose boundary tie exceeds
+        # the cap (boundary≈1: most n-grams unique — tiny corpora)
+        # falls back to the exact text path instead of truncating.
+        cap = max(16 * top_n, 1024)
+        cand = dcounts.filter(F.col("n") >= boundary).select("d").limit(
+            cap + 1).collect()
+        if len(cand) > cap:
+            return (
+                bg.groupBy("phrase")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("phrase"))
+                .limit(top_n)
+            )
+        cand_digests = [int(r["d"]) for r in cand]
+    finally:
+        dcounts.unpersist()
     return (
         bg.filter(F.xxhash64("phrase").isin(cand_digests))
         .groupBy("phrase")

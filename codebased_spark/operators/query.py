@@ -1103,29 +1103,10 @@ def search_index_files_batch(
 
     empty = _batch_result_df(spark, [])
     phrase_dfs_by_query = phrase_dfs_by_query or {}
-    parsed = []
-    for qi, q in enumerate(queries):
-        phrases = query_phrases(q)
-        if not (phrases and not any(len(p) < 3 for p in phrases) and n_docs):
-            continue
-        pdfs = phrase_dfs_by_query.get(qi)
-        if pdfs is not None and any(da == 0 for da, _dn in pdfs):
-            continue  # covered query whose phrase matches nothing -> no rows
-        parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
+    parsed, known_idfs_by_qid, needed = _parse_batch(
+        queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return empty
-
-    known_idfs_by_qid = {
-        qi: (
-            [idf_fn(n_docs, da) for da, _ in phrase_dfs_by_query[qi]],
-            [idf_fn(n_docs, dn) if dn else 0.0
-             for _, dn in phrase_dfs_by_query[qi]],
-        )
-        for qi, _, _ in parsed
-        if qi in phrase_dfs_by_query
-    }
-
-    needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
     # Tail routing on the driver-side candidate bound (VERDICT r03 #2,
     # same derivation as _tail_bound): when even the optimistic bound
     # exceeds the cap, go straight to the JVM flat plan with no probe
@@ -1306,12 +1287,10 @@ def search_index(
 
     spark = postings.sparkSession
     empty = _result_df(spark, [])
-    phrases = query_phrases(query)
-    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0:
+    got = _parse_single(query, n_docs, None)
+    if got is None:
         return empty
-
-    term_ids = [phrase_terms(p) for p in phrases]
-    needed = sorted({t for ts in term_ids for t in ts})
+    phrases, term_ids, needed, _known = got
 
     pruned = postings.filter(F.col("term").isin([int(t) for t in needed]))
     if deletes is not None:
@@ -1349,22 +1328,10 @@ def search_index_files(
     branch-top-k emission, no df-stat rows flow, and the tail's
     candidate bound is exact. Results are bit-identical either way."""
     empty = _result_df(spark, [])
-    phrases = query_phrases(query)
-    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0 or not posting_files:
+    got = _parse_single(query, n_docs, phrase_dfs)
+    if got is None or not posting_files:
         return empty
-    term_ids = [phrase_terms(p) for p in phrases]
-    needed = sorted({int(t) for ts in term_ids for t in ts})
-
-    known_idfs = None
-    if phrase_dfs is not None:
-        if len(phrase_dfs) != len(phrases):
-            raise ValueError("phrase_dfs must align with the parsed phrases")
-        if any(da == 0 for da, _dn in phrase_dfs):
-            return empty  # a phrase matches nothing anywhere -> AND fails
-        known_idfs = (
-            [idf_fn(n_docs, da) for da, _ in phrase_dfs],
-            [idf_fn(n_docs, dn) if dn else 0.0 for _, dn in phrase_dfs],
-        )
+    phrases, term_ids, needed, known_idfs = got
 
     cand = _files_df(spark, posting_files).mapInPandas(
         _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl,
@@ -1515,17 +1482,15 @@ def _direct_candidate_rows(posting_files, term_ids, needed, deletes_dir,
     )
 
 
-def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
-                       deletes_dir, phrase_dfs):
-    """(final_rows, n_ph) for ONE query via the zero-job direct scan;
-    final_rows is _finish_rows' [(doc_id, name_match, rank)] output
-    (empty list on no-match/AND-fail). Shares the exact preamble,
-    candidate machinery, and scoring tail with the distributed path,
-    so results are bit-identical (pinned by tests)."""
+def _parse_single(query, n_docs, phrase_dfs):
+    """Shared query preamble for the distributed AND direct paths (one
+    source — the twins must never diverge): returns (phrases, term_ids,
+    needed, known_idfs), or None when the query can match nothing
+    (unparseable / sub-trigram phrase / empty corpus / covered phrase
+    with df 0 — the AND fails with no reads at all)."""
     phrases = query_phrases(query)
-    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0 \
-            or not posting_files:
-        return [], len(phrases)
+    if not phrases or any(len(p) < 3 for p in phrases) or n_docs == 0:
+        return None
     term_ids = [phrase_terms(p) for p in phrases]
     needed = sorted({int(t) for ts in term_ids for t in ts})
     known_idfs = None
@@ -1533,18 +1498,48 @@ def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
         if len(phrase_dfs) != len(phrases):
             raise ValueError("phrase_dfs must align with the parsed phrases")
         if any(da == 0 for da, _dn in phrase_dfs):
-            return [], len(phrases)  # covered AND-fail: no reads at all
+            return None
         known_idfs = (
             [idf_fn(n_docs, da) for da, _ in phrase_dfs],
             [idf_fn(n_docs, dn) if dn else 0.0 for _, dn in phrase_dfs],
         )
+    return phrases, term_ids, needed, known_idfs
+
+
+def _parse_batch(queries, n_docs, phrase_dfs_by_query):
+    """Batch twin of _parse_single, shared by the distributed and
+    direct batch paths: (parsed [(qi, phrases, term_ids)],
+    known_idfs_by_qid, needed-term union)."""
+    parsed = []
+    known_idfs_by_qid = {}
+    for qi, q in enumerate(queries):
+        got = _parse_single(q, n_docs, phrase_dfs_by_query.get(qi))
+        if got is None:
+            continue
+        phrases, term_ids, _needed, known = got
+        parsed.append((qi, phrases, term_ids))
+        if known is not None:
+            known_idfs_by_qid[qi] = known
+    needed = sorted(
+        {int(t) for _, _, tids in parsed for ts in tids for t in ts})
+    return parsed, known_idfs_by_qid, needed
+
+
+def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
+                       deletes_dir, phrase_dfs):
+    """_finish_rows' [(doc_id, name_match, rank)] output for ONE query
+    via the zero-job direct scan (empty list on no-match/AND-fail).
+    Shares the exact preamble, candidate machinery, and scoring tail
+    with the distributed path, so results are bit-identical (pinned by
+    tests)."""
+    got = _parse_single(query, n_docs, phrase_dfs)
+    if got is None or not posting_files:
+        return []
+    phrases, term_ids, needed, known_idfs = got
     rows = _direct_candidate_rows(posting_files, term_ids, needed,
                                   deletes_dir, top_k, avgdl, known_idfs)
-    return (
-        _finish_rows(rows, len(phrases), n_docs, avgdl, top_k,
-                     dfs_override=phrase_dfs),
-        len(phrases),
-    )
+    return _finish_rows(rows, len(phrases), n_docs, avgdl, top_k,
+                        dfs_override=phrase_dfs)
 
 
 def search_index_files_direct(
@@ -1567,7 +1562,7 @@ def search_index_files_direct(
     DRIVER_DIRECT_MAX_BYTES — at any real scale the distributed plan
     runs unchanged, so this is a latency floor for small corpora, not a
     driver bottleneck waiting to happen."""
-    final, _n_ph = _direct_query_rows(
+    final = _direct_query_rows(
         query, posting_files, n_docs, avgdl, top_k, deletes_dir, phrase_dfs)
     return _result_df(spark, final)
 
@@ -1590,27 +1585,10 @@ def search_index_files_batch_direct(
     per-query results are bit-identical to search_index_files_batch
     (tested)."""
     phrase_dfs_by_query = phrase_dfs_by_query or {}
-    parsed = []
-    for qi, q in enumerate(queries):
-        phrases = query_phrases(q)
-        if not (phrases and not any(len(p) < 3 for p in phrases) and n_docs):
-            continue
-        pdfs = phrase_dfs_by_query.get(qi)
-        if pdfs is not None and any(da == 0 for da, _dn in pdfs):
-            continue  # covered query whose phrase matches nothing -> no rows
-        parsed.append((qi, phrases, [phrase_terms(p) for p in phrases]))
+    parsed, known_idfs_by_qid, needed = _parse_batch(
+        queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return _batch_result_df(spark, [])
-    known_idfs_by_qid = {
-        qi: (
-            [idf_fn(n_docs, da) for da, _ in phrase_dfs_by_query[qi]],
-            [idf_fn(n_docs, dn) if dn else 0.0
-             for _, dn in phrase_dfs_by_query[qi]],
-        )
-        for qi, _, _ in parsed
-        if qi in phrase_dfs_by_query
-    }
-    needed = sorted({int(t) for _, _, tids in parsed for ts in tids for t in ts})
     rows = _direct_scan_rows(
         lambda: _batch_candidates_fn(
             [(qi, tids) for qi, _, tids in parsed], needed, deletes_dir,

@@ -154,11 +154,16 @@ class FtsIndex:
         from codebased_spark.operators.query import DRIVER_DIRECT_MAX_BYTES
 
         _dd = _os.environ.get("SPARK_GRAFT_DRIVER_DIRECT")
-        if _dd in ("0", "1"):
-            self.driver_direct = bool(self.posting_files) and _dd == "1"
-        else:
+        if _dd is None or _dd == "":
             self.driver_direct = bool(self.posting_files) and \
                 0 < self.postings_bytes <= DRIVER_DIRECT_MAX_BYTES
+        elif _dd in ("0", "1"):
+            self.driver_direct = bool(self.posting_files) and _dd == "1"
+        else:
+            # an ops override that silently fell back to the auto gate
+            # would have routing mis-attributed elsewhere — fail loud
+            raise ValueError(
+                f"SPARK_GRAFT_DRIVER_DIRECT must be '0' or '1', got {_dd!r}")
         self.deletes_dir = _join(index_dir, "deletes")
         self.has_deletes = self.fs.exists(self.deletes_dir)
         self._deleted = None

@@ -26,11 +26,22 @@ QUERIES = [
 
 
 @pytest.fixture(scope="module")
-def shared_index(spark, tmp_path_factory):
+def _conc_idx_dir(spark, tmp_path_factory):
     idx_dir = str(tmp_path_factory.mktemp("conc") / "idx")
     index = build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=4)
     build_phrase_df(spark, index, ["hello world", "world", "server started"])
-    return FtsIndex(spark, idx_dir)  # phrase table loaded -> mixed coverage
+    return idx_dir
+
+
+# both routes race in every test: "distributed" pins the Spark-job path
+# (limit-conf lock, concurrent collects), "direct" the zero-job
+# driver-side scan (shared reader pool). A fixture-sized index would
+# otherwise auto-route direct and leave the distributed state untested.
+@pytest.fixture(scope="module", params=["distributed", "direct"])
+def shared_index(request, spark, _conc_idx_dir):
+    index = FtsIndex(spark, _conc_idx_dir)  # phrase table -> mixed coverage
+    index.driver_direct = request.param == "direct"
+    return index
 
 
 def _hits(index, q, top_k=10):
