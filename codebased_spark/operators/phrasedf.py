@@ -86,6 +86,8 @@ def hot_phrases_from_corpus(
     text_col: str = "content",
     key: str = "digest",
     ngrams: tuple[int, ...] = (1, 2),
+    sample_fraction: "float | None" = None,
+    oversample: int = 8,
 ) -> list[str]:
     """Stand-in for query-log mining: the ``top_n`` most frequent
     case-folded word n-grams (default: unigrams + bigrams, ranked
@@ -107,12 +109,30 @@ def hot_phrases_from_corpus(
     boundary tie itself floods past the driver cap (boundary≈1 — tiny
     or degenerate corpora where most n-grams are unique), the miner
     falls back to the exact text path rather than truncate the
-    candidate set, so digest-vs-text equality holds unconditionally.
-    The only theoretical divergence is a collision inflating the
-    boundary count itself (~2^-64 per pair). ``key='text'`` is the direct one-pass
+    candidate set. Digest-vs-text equality therefore holds up to
+    xxhash64 collisions: a collision can only merge two phrases'
+    counts, which can inflate a digest's pass-1 count and (if that
+    digest sits exactly at the boundary) admit a spurious candidate —
+    harmless, pass 2 re-counts by text — or push a true candidate's
+    competitors above it; the one residual failure mode is a
+    boundary-adjacent inflation demoting a true top-N digest below the
+    boundary (~2^-64 per phrase pair, accepted). ``key='text'`` is the direct one-pass
     groupBy on phrase strings — fine at bench scale, a corpus-wide
-    text-key shuffle at 100 TB."""
-    rows = top_ngrams_df(corpus, top_n, text_col, key, ngrams).collect()
+    text-key shuffle at 100 TB.
+
+    ``sample_fraction`` (VERDICT r05 #1: the exact miner's dominant
+    cost is TWO full corpus n-gram expansions) runs candidate
+    generation over a deterministic doc sample instead: the sample's
+    top ``oversample * top_n`` digests (boundary ties included) become
+    the candidates, and pass 2 still re-counts them EXACTLY by text
+    over the FULL corpus — reported counts are always true counts, and
+    the result equals the exact miner whenever every true top-N phrase
+    ranks within the sample's top oversample*N (overwhelmingly so for
+    the Zipfian frequency profiles mining targets; NOT a guarantee —
+    the oracle gate and correctness-critical callers keep
+    sample_fraction=None)."""
+    rows = top_ngrams_df(corpus, top_n, text_col, key, ngrams,
+                         sample_fraction, oversample).collect()
     return [r["phrase"] for r in rows]
 
 
@@ -122,13 +142,26 @@ def top_ngrams_df(
     text_col: str = "content",
     key: str = "digest",
     ngrams: tuple[int, ...] = (1, 2),
+    sample_fraction: "float | None" = None,
+    oversample: int = 8,
 ) -> DataFrame:
     """The mined hot set as a (phrase, n) DataFrame, most-frequent
     first — the plan behind :func:`hot_phrases_from_corpus` (see its
-    docstring for the digest-vs-text shuffle analysis). Exposed
-    separately so the miner itself sits under the cross-engine value
-    oracle (__spark_entry__ ``hot_phrase_mining``)."""
+    docstring for the digest-vs-text shuffle analysis and the
+    ``sample_fraction`` contract). Exposed separately so the miner
+    itself sits under the cross-engine value oracle (__spark_entry__
+    ``hot_phrase_mining``)."""
+    if not tuple(ngrams):
+        raise ValueError("ngrams must be non-empty")
     bg = _corpus_ngrams(corpus, text_col, tuple(ngrams))
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        if key not in ("digest", "text"):
+            raise ValueError(f"key must be 'digest' or 'text', got {key!r}")
+        return _top_ngrams_sampled(
+            corpus, bg, top_n, text_col, tuple(ngrams),
+            float(sample_fraction), int(oversample))
     if key == "text":
         return (
             bg.groupBy("phrase")
@@ -177,6 +210,52 @@ def top_ngrams_df(
     )
 
 
+def _top_ngrams_sampled(corpus, bg_full, top_n, text_col, ngrams,
+                        fraction, oversample):
+    """Sampled candidate generation + exact full-corpus re-count (the
+    ``sample_fraction`` branch of :func:`top_ngrams_df`): pass 1
+    expands n-grams only for a seed-deterministic doc sample and takes
+    its top oversample*top_n digests (boundary ties included, capped);
+    pass 2 re-counts those candidates exactly by text over the full
+    corpus. One full expansion instead of two, and the pass-1 shuffle
+    shrinks by the sample fraction."""
+    samp = corpus.sample(fraction=fraction, seed=42)
+    bg_s = _corpus_ngrams(samp, text_col, ngrams)
+    dcounts = (
+        bg_s.select(F.xxhash64("phrase").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).persist()  # two driver pulls below
+    try:
+        n_cand = max(int(oversample) * top_n, top_n)
+        head = dcounts.orderBy(F.desc("n"), F.asc("d")).limit(n_cand).collect()
+        if not head:
+            # the sample caught nothing (tiny corpus / tiny fraction):
+            # the exact path is cheap there — run it instead of
+            # returning a silently-empty hot set
+            return top_ngrams_df(corpus, top_n, text_col, "digest", ngrams)
+        boundary = min(int(r["n"]) for r in head)
+        cap = max(4 * n_cand, 2048)
+        cand = dcounts.filter(F.col("n") >= boundary).select("d").limit(
+            cap + 1).collect()
+        if len(cand) > cap:
+            # boundary tie flood: sampling is already approximate, so
+            # (unlike the exact miner) truncating to the head is fine —
+            # every survivor still gets an exact full-corpus count
+            cand_digests = [int(r["d"]) for r in head]
+        else:
+            cand_digests = [int(r["d"]) for r in cand]
+    finally:
+        dcounts.unpersist()
+    return (
+        bg_full.filter(F.xxhash64("phrase").isin(cand_digests))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(top_n)
+    )
+
+
 def hot_phrases_from_query_log(queries, top_n: int = 64) -> list[str]:
     """The hot set mined from REAL traffic — the operational successor
     to :func:`hot_phrases_from_corpus` once queries exist. Parses each
@@ -214,7 +293,11 @@ def hot_phrases_from_query_log(queries, top_n: int = 64) -> list[str]:
     from collections import Counter
 
     counts: Counter = Counter()
-    for q in queries:
+    # snapshot first: FtsIndex.search/search_batch append to query_log
+    # on every call, and mining while concurrent traffic flows (the
+    # documented operational loop) would otherwise raise
+    # "deque mutated during iteration"
+    for q in tuple(queries):
         for p in query_phrases(q or ""):
             if len(p) >= 3:
                 counts[p] += 1

@@ -1,0 +1,255 @@
+"""Term->block presence manifest: shard pruning for the query path
+(VERDICT r05 "What's missing" #2).
+
+Without it every query parallelizes over ALL posting shards and relies
+on parquet row-group min/max stats inside each file to skip — O(1) work
+per block, but the number of blocks scales with the CORPUS, not the
+query: at 100 TB (tens of thousands of shards) a rare-phrase query
+still opens every footer. This module materializes, next to the index,
+which pblocks contain which trigram terms, so the driver can drop
+provably-irrelevant shards from the scan list before any task launches
+— per-query shard touch becomes O(|blocks that can match|), and a
+query whose phrase occurs nowhere returns empty with ZERO reads.
+
+Exactness (why pruning can never change results):
+- A block that lacks ANY trigram of a phrase contains no doc matching
+  that phrase, so it contributes neither df-stat rows nor doc rows for
+  it. Hence an uncovered (df-unknown) query only needs
+  union_over_phrases( intersection_over_trigrams( blocks(t) ) ); a
+  dropped block would have emitted nothing.
+- A side-table-covered query emits no stat rows and its doc rows need
+  EVERY phrase (conjunctive), so the full intersection suffices.
+- Presence is an OVER-approximation by construction: tombstones never
+  shrink it (deleted docs only remove matches), and incremental commits
+  write strictly NEW pblocks (block_offset above every existing id —
+  streaming/incremental.py), so a recorded block's term set never
+  grows. Blocks committed after the manifest was last extended are
+  simply not in ``covered_pblocks`` and are always scanned.
+
+On-disk layout (<index>/term_blocks/): parquet rows
+(term long, blocks array<int>), each file sorted by term with small
+row groups so a per-query term filter prunes to O(#query terms) row
+groups. The layout is APPEND-ONLY: an incremental commit appends one
+small file holding only the NEW blocks' term sets (a scan of just the
+new shards' term column — O(changed blocks), the delta-maintenance
+shape VERDICT r05 asked for on phrase-df); the reader unions rows per
+term. The manifest (_manifest/term_blocks.json) records
+``covered_pblocks`` — pruning applies only to those, so a crash
+between data append and manifest update, or a commit that skipped the
+update entirely, degrades pruning, never correctness.
+
+Scale notes: the table holds one row per (term, file-generation) with
+a block-id array — Sigma_block |distinct terms(block)| entries total,
+i.e. proportional to distinct posting rows, ~0.1-1% of index bytes
+(term ids dictionary-encode, block arrays are deltas of small ints).
+Query-time lookups are driver-side pyarrow reads of O(#query terms)
+row groups with a per-term cache on the index handle; at extreme term
+counts the same table could be bucketed by term hash and looked up
+per-bucket, with no change to the pruning contract.
+
+No reference counterpart: codebased's SQLite FTS5 is one B-tree where
+"which segment holds this term" is the tree descent itself
+(codebased/index.py:336); this manifest is the distributed-shard
+equivalent of that descent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TERM_BLOCKS_DIR = "term_blocks"
+TERM_BLOCKS_MANIFEST = "term_blocks"
+# small row groups => a query's term filter reads O(#query terms) of
+# them; same rationale as engine.POSTING_ROW_GROUP_BYTES
+TERM_BLOCKS_ROW_GROUP_BYTES = 256 * 1024
+
+
+class TermBlocks:
+    """Driver-side handle: lazy per-term block-set lookup with a cache.
+
+    ``covered`` is the frozenset of pblock ids the manifest actually
+    recorded — pruning decisions are valid ONLY inside it; blocks
+    outside are always scanned. Lookup reads are lock-free: concurrent
+    queries may duplicate a read, but dict assignment is atomic so the
+    cache never holds partial entries.
+    """
+
+    def __init__(self, data_dir: str, covered) -> None:
+        self.data_dir = data_dir
+        self.covered = frozenset(int(b) for b in covered)
+        self._cache: dict[int, frozenset] = {}
+        self._fs_cache: dict = {}
+
+    def blocks_for(self, terms) -> dict[int, frozenset]:
+        """{term -> frozenset(pblock)} for every requested term (terms
+        absent from the table map to an empty set — they occur in no
+        covered block)."""
+        from codebased_spark.operators.query import _pa_read_table
+
+        missing = [int(t) for t in terms if int(t) not in self._cache]
+        if missing:
+            tbl = _pa_read_table(
+                self.data_dir, self._fs_cache,
+                filters=[("term", "in", missing)],
+                columns=["term", "blocks"],
+            )
+            found: dict[int, set] = {}
+            # append-only layout: a term may have one row per commit
+            # generation — union them
+            for t, bl in zip(tbl["term"].to_pylist(), tbl["blocks"].to_pylist()):
+                found.setdefault(int(t), set()).update(int(b) for b in bl)
+            for t in missing:
+                self._cache[t] = frozenset(found.get(t, ()))
+        return {int(t): self._cache[int(t)] for t in terms}
+
+
+def _listed_pblocks(fs, index_dir: str) -> list[int]:
+    """pblock ids of the posting shards currently on disk — what a
+    freshly-loaded index would scan, hence what the manifest may claim
+    to cover."""
+    from codebased_spark.plans.engine import _join
+
+    out = set()
+    for path, _size in fs.list_files(_join(index_dir, "postings")):
+        if not path.endswith(".parquet"):
+            continue
+        seg = [s for s in path.split("/") if s.startswith("pblock=")]
+        if seg:
+            out.add(int(seg[-1].split("=", 1)[1]))
+    return sorted(out)
+
+
+def _write_pairs(spark: SparkSession, pairs_df, out_dir: str, mode: str) -> None:
+    """(term, pblock) rows -> one sorted (term, blocks) parquet file.
+    ONE shuffle (collect_set partial-aggregates map-side); coalesce(1)
+    then an in-partition sort keeps row-group min/max monotone in term.
+    At larger scale substitute repartitionByRange(n, "term") for the
+    coalesce — every reader already handles multi-file dirs."""
+    (
+        pairs_df.groupBy("term")
+        .agg(F.sort_array(F.collect_set("pblock")).alias("blocks"))
+        .coalesce(1)
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .option("parquet.block.size", str(TERM_BLOCKS_ROW_GROUP_BYTES))
+        .parquet(out_dir)
+    )
+
+
+def build_term_blocks(spark: SparkSession, index_dir: str, fs=None) -> dict:
+    """Full build of the presence table from the posting shards (a
+    column-pruned scan: only the tiny dictionary-encoded ``term``
+    column and the pblock partition value are read — never the posting
+    blobs). Returns the manifest payload."""
+    from codebased_spark.operators.build import POSTING_SCHEMA
+    from codebased_spark.plans.engine import (
+        FORMAT_VERSION,
+        IndexFS,
+        _join,
+        _write_manifest,
+    )
+
+    fs = fs or IndexFS(spark, index_dir)
+    out_dir = _join(index_dir, TERM_BLOCKS_DIR)
+    man = _join(index_dir, "_manifest", f"{TERM_BLOCKS_MANIFEST}.json")
+    # manifest gone first: readers fall back to scan-everything while
+    # the data is being replaced (stale data + fresh manifest is the
+    # only unsafe combination, and this ordering makes it impossible)
+    if fs.exists(man):
+        fs.delete(man)
+    fs.delete(out_dir)
+    covered = _listed_pblocks(fs, index_dir)
+    spark.catalog.refreshByPath(_join(index_dir, "postings"))
+    postings = spark.read.schema(POSTING_SCHEMA).parquet(
+        _join(index_dir, "postings"))
+    _write_pairs(
+        spark, postings.select("term", F.col("pblock").cast("int").alias("pblock")),
+        out_dir, "overwrite",
+    )
+    payload = {
+        "stage": TERM_BLOCKS_MANIFEST,
+        "version": FORMAT_VERSION,
+        "covered_pblocks": covered,
+    }
+    _write_manifest(fs, index_dir, TERM_BLOCKS_MANIFEST, payload)
+    return payload
+
+
+def update_term_blocks(
+    spark: SparkSession, index_dir: str, fs, min_new_pblock: int
+) -> "dict | None":
+    """Delta-extend the presence table after an incremental commit:
+    scan ONLY shards with pblock >= ``min_new_pblock`` (partition
+    pruning makes this O(changed blocks)), append their term sets as a
+    new file, then extend ``covered_pblocks``. No-op (returns None)
+    when no manifest exists — presence stays opt-in per index. A crash
+    after the append but before the manifest leaves the new blocks
+    uncovered (scanned unpruned) — correct either way."""
+    from codebased_spark.operators.build import POSTING_SCHEMA
+    from codebased_spark.plans.engine import (
+        FORMAT_VERSION,
+        _join,
+        _read_manifest,
+        _write_manifest,
+    )
+
+    man_path = _join(index_dir, "_manifest", f"{TERM_BLOCKS_MANIFEST}.json")
+    if not fs.exists(man_path):
+        return None
+    try:
+        man = _read_manifest(fs, index_dir, TERM_BLOCKS_MANIFEST)
+        if int(man.get("version", -1)) != FORMAT_VERSION:
+            return None
+    except Exception:
+        return None
+    new_pbs = [b for b in _listed_pblocks(fs, index_dir) if b >= min_new_pblock]
+    if not new_pbs:
+        return man
+    spark.catalog.refreshByPath(_join(index_dir, "postings"))
+    postings = spark.read.schema(POSTING_SCHEMA).parquet(
+        _join(index_dir, "postings"))
+    _write_pairs(
+        spark,
+        postings.filter(F.col("pblock") >= min_new_pblock)
+        .select("term", F.col("pblock").cast("int").alias("pblock")),
+        _join(index_dir, TERM_BLOCKS_DIR), "append",
+    )
+    covered = sorted(set(int(b) for b in man.get("covered_pblocks", []))
+                     | set(new_pbs))
+    payload = {
+        "stage": TERM_BLOCKS_MANIFEST,
+        "version": FORMAT_VERSION,
+        "covered_pblocks": covered,
+    }
+    _write_manifest(fs, index_dir, TERM_BLOCKS_MANIFEST, payload)
+    return payload
+
+
+def load_term_blocks(index) -> "TermBlocks | None":
+    """The index's presence handle, or None when absent/unreadable/
+    version-mismatched (queries then scan every shard — slower, never
+    wrong)."""
+    from codebased_spark.plans.engine import FORMAT_VERSION, _join
+
+    man_path = _join(index.index_dir, "_manifest",
+                     f"{TERM_BLOCKS_MANIFEST}.json")
+    if not index.fs.exists(man_path):
+        return None
+    try:
+        man = index.fs.read_json(man_path)
+        if int(man.get("version", -1)) != FORMAT_VERSION:
+            return None
+        covered = man.get("covered_pblocks", [])
+    except Exception:
+        return None
+    data_dir = _join(index.index_dir, TERM_BLOCKS_DIR)
+    if not index.fs.exists(data_dir):
+        return None
+    from codebased_spark.plans.fsio import canonical_uri, is_local, local_path
+
+    if is_local(index.index_dir) and not index.index_dir.startswith("file:"):
+        data = local_path(data_dir)
+    else:
+        data = canonical_uri(data_dir)
+    return TermBlocks(data, covered)

@@ -1082,6 +1082,7 @@ def search_index_files_batch(
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
     phrase_dfs_by_query: "dict[int, list[tuple[int, int]]] | None" = None,
+    presence=None,
 ) -> DataFrame:
     """Batched two-branch FTS search: one shared posting scan serves
     every query, and the scoring tail finishes driver-side — ONE Spark
@@ -1107,9 +1108,17 @@ def search_index_files_batch(
         queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return empty
+    posting_files, parsed, known_idfs_by_qid = _prune_batch(
+        posting_files, parsed, known_idfs_by_qid, presence)
+    if not parsed or not posting_files:
+        return empty
+    if presence is not None:
+        # dropped queries' terms need not be read in the shared scan
+        needed = sorted(
+            {int(t) for _, _, tids in parsed for ts in tids for t in ts})
     # Tail routing on the driver-side candidate bound (VERDICT r03 #2,
     # same derivation as _tail_bound): when even the optimistic bound
-    # exceeds the cap, go straight to the JVM flat plan with no probe
+    # exceeds the cap, go straight to the JVM plan with no probe
     # collect; when the bound is exact (all queries single-phrase or
     # side-table covered: <= 2*top_k rows/block, no stat rows) and
     # under the cap, collect plainly with no limit probe.
@@ -1317,6 +1326,7 @@ def search_index_files(
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
     phrase_dfs: "list[tuple[int, int]] | None" = None,
+    presence=None,
 ) -> DataFrame:
     """Like search_index, but candidates come from the pyarrow custom
     scan over (pblock, file) rows — the low-latency path FtsIndex uses.
@@ -1326,20 +1336,25 @@ def search_index_files(
     phrase-df side table) enables the covered fast path: idfs are
     computed driver-side, blocks run multi-trigram WAND with exact
     branch-top-k emission, no df-stat rows flow, and the tail's
-    candidate bound is exact. Results are bit-identical either way."""
+    candidate bound is exact. ``presence`` (a presence.TermBlocks)
+    prunes provably-irrelevant shards from the scan list before the
+    job launches. Results are bit-identical in every combination."""
     empty = _result_df(spark, [])
     got = _parse_single(query, n_docs, phrase_dfs)
     if got is None or not posting_files:
         return empty
     phrases, term_ids, needed, known_idfs = got
+    files = _prune_posting_files(posting_files, term_ids, known_idfs, presence)
+    if not files:
+        return empty
 
-    cand = _files_df(spark, posting_files).mapInPandas(
+    cand = _files_df(spark, files).mapInPandas(
         _file_candidates_fn(term_ids, needed, deletes_dir, top_k, avgdl,
                             known_idfs),
         CAND2_SCHEMA,
     )
     return _score_and_merge(cand, len(phrases), n_docs, avgdl, top_k, empty,
-                            n_blocks=len(posting_files),
+                            n_blocks=len(files),
                             dfs_override=phrase_dfs)
 
 
@@ -1525,18 +1540,93 @@ def _parse_batch(queries, n_docs, phrase_dfs_by_query):
     return parsed, known_idfs_by_qid, needed
 
 
+def _prune_posting_files(posting_files, term_ids, known_idfs, presence):
+    """Shard-list pruning via the term->block presence manifest
+    (operators/presence.py — see its module docstring for the
+    exactness argument). Returns the (pblock, path) rows worth
+    scanning; [] means the result is provably empty with zero reads.
+
+    - uncovered query (dfs unknown): keep the UNION over phrases of
+      each phrase's trigram-intersection block set — a dropped block
+      emits neither stats nor docs for any phrase. If some phrase's
+      set is empty and every shard is covered, that phrase's df is 0
+      everywhere -> the conjunctive query fails outright.
+    - covered query (known_idfs set): no stat rows flow and docs need
+      every phrase, so the full INTERSECTION suffices.
+    - shards outside ``presence.covered`` (committed after the last
+      manifest extension) are always kept.
+    Any lookup failure degrades to scanning everything — never wrong.
+    """
+    if presence is None or not posting_files:
+        return posting_files
+    covered = presence.covered
+    has_uncovered = any(pb not in covered for pb, _ in posting_files)
+    try:
+        bmap = presence.blocks_for(
+            sorted({int(t) for ts in term_ids for t in ts}))
+    except Exception:
+        return posting_files
+    per_phrase = []
+    for ts in term_ids:
+        s = bmap[int(ts[0])]
+        for t in ts[1:]:
+            if not s:
+                break
+            s = s & bmap[int(t)]
+        if not s and not has_uncovered:
+            return []
+        per_phrase.append(s)
+    if known_idfs is not None:
+        allowed = set(per_phrase[0])
+        for s in per_phrase[1:]:
+            allowed &= s
+    else:
+        allowed = set().union(*per_phrase) if per_phrase else set()
+    return [(pb, p) for pb, p in posting_files
+            if pb not in covered or pb in allowed]
+
+
+def _prune_batch(posting_files, parsed, known_idfs_by_qid, presence):
+    """Batch twin of _prune_posting_files: each query keeps its own
+    pruned set; the shared scan runs over the union (a block scanned
+    for query B emits nothing for query A whose set excluded it —
+    same argument as single-query pruning). Queries whose own set is
+    empty are dropped (they provably yield no rows). Returns
+    (files, parsed, known_idfs_by_qid)."""
+    if presence is None or not posting_files:
+        return posting_files, parsed, known_idfs_by_qid
+    keep_paths: dict = {}
+    parsed2 = []
+    known2 = {}
+    for qi, phrases, tids in parsed:
+        files_q = _prune_posting_files(
+            posting_files, tids, known_idfs_by_qid.get(qi), presence)
+        if not files_q:
+            continue
+        parsed2.append((qi, phrases, tids))
+        if qi in known_idfs_by_qid:
+            known2[qi] = known_idfs_by_qid[qi]
+        for pb, p in files_q:
+            keep_paths[(pb, p)] = None
+    files = [fp for fp in posting_files if fp in keep_paths]
+    return files, parsed2, known2
+
+
 def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
-                       deletes_dir, phrase_dfs):
+                       deletes_dir, phrase_dfs, presence=None):
     """_finish_rows' [(doc_id, name_match, rank)] output for ONE query
     via the zero-job direct scan (empty list on no-match/AND-fail).
-    Shares the exact preamble, candidate machinery, and scoring tail
-    with the distributed path, so results are bit-identical (pinned by
-    tests)."""
+    Shares the exact preamble, shard pruning, candidate machinery, and
+    scoring tail with the distributed path, so results are
+    bit-identical (pinned by tests)."""
     got = _parse_single(query, n_docs, phrase_dfs)
     if got is None or not posting_files:
         return []
     phrases, term_ids, needed, known_idfs = got
-    rows = _direct_candidate_rows(posting_files, term_ids, needed,
+    files = _prune_posting_files(posting_files, term_ids, known_idfs, presence)
+    if not files:
+        return []
+    rows = _direct_candidate_rows(files, term_ids, needed,
                                   deletes_dir, top_k, avgdl, known_idfs)
     return _finish_rows(rows, len(phrases), n_docs, avgdl, top_k,
                         dfs_override=phrase_dfs)
@@ -1551,6 +1641,7 @@ def search_index_files_direct(
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
     phrase_dfs: "list[tuple[int, int]] | None" = None,
+    presence=None,
 ) -> DataFrame:
     """ZERO-Spark-job variant of search_index_files for SMALL indexes
     (the reference's embedded regime): the driver reads the
@@ -1563,7 +1654,8 @@ def search_index_files_direct(
     runs unchanged, so this is a latency floor for small corpora, not a
     driver bottleneck waiting to happen."""
     final = _direct_query_rows(
-        query, posting_files, n_docs, avgdl, top_k, deletes_dir, phrase_dfs)
+        query, posting_files, n_docs, avgdl, top_k, deletes_dir, phrase_dfs,
+        presence=presence)
     return _result_df(spark, final)
 
 
@@ -1576,6 +1668,7 @@ def search_index_files_batch_direct(
     top_k: int = DEFAULT_TOP_K,
     deletes_dir=None,
     phrase_dfs_by_query: "dict[int, list[tuple[int, int]]] | None" = None,
+    presence=None,
 ) -> DataFrame:
     """Batch twin of search_index_files_direct: ONE driver-side scan
     (the same _batch_candidates_fn task body the distributed batch
@@ -1589,6 +1682,13 @@ def search_index_files_batch_direct(
         queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return _batch_result_df(spark, [])
+    posting_files, parsed, known_idfs_by_qid = _prune_batch(
+        posting_files, parsed, known_idfs_by_qid, presence)
+    if not parsed or not posting_files:
+        return _batch_result_df(spark, [])
+    if presence is not None:
+        needed = sorted(
+            {int(t) for _, _, tids in parsed for ts in tids for t in ts})
     rows = _direct_scan_rows(
         lambda: _batch_candidates_fn(
             [(qi, tids) for qi, _, tids in parsed], needed, deletes_dir,

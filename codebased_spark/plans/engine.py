@@ -178,6 +178,12 @@ class FtsIndex:
         from codebased_spark.operators.phrasedf import load_phrase_df
 
         self.phrase_dfs: dict[str, tuple[int, int]] = load_phrase_df(spark, self)
+        # term->block presence manifest (operators/presence.py): None
+        # when absent; queries prune provably-irrelevant shards from
+        # the scan list driver-side (bit-identical results)
+        from codebased_spark.operators.presence import load_term_blocks
+
+        self.term_blocks = load_term_blocks(self)
         # rolling query log (driver-side, bounded): the operational
         # source for hot-phrase mining — phrasedf.hot_phrases_from_
         # query_log(index.query_log) replaces the corpus-bigram
@@ -291,12 +297,14 @@ class FtsIndex:
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
                 top_k, deletes_dir=self._task_deletes_dir(),
                 phrase_dfs=self._covering_dfs(query),
+                presence=self.term_blocks,
             )
         elif self.posting_files:
             out = search_index_files(
                 self.spark, self.posting_files, query, self.n_docs, self.avgdl,
                 top_k, deletes_dir=self._task_deletes_dir(),
                 phrase_dfs=self._covering_dfs(query),
+                presence=self.term_blocks,
             )
         else:
             out = search_index(
@@ -353,6 +361,7 @@ class FtsIndex:
                     (qi, self._covering_dfs(q)) for qi, q in enumerate(queries)
                 ) if dfs is not None
             },
+            presence=self.term_blocks,
         )
 
     def _covering_dfs(self, query: str) -> "list[tuple[int, int]] | None":
@@ -482,6 +491,15 @@ def build_index(
             {"stage": "postings", "version": FORMAT_VERSION,
              "per_block": _postings_footer_metrics(fs, _join(index_dir, "postings"))},
         )
+
+    if not (resume and _stage_done(fs, index_dir, "term_blocks")):
+        # term->block presence manifest (operators/presence.py): a
+        # column-pruned scan of just the term column — cheap relative
+        # to the posting build, and it makes per-query shard touch
+        # O(blocks that can match) instead of O(all blocks)
+        from codebased_spark.operators.presence import build_term_blocks
+
+        build_term_blocks(spark, index_dir, fs=fs)
 
     if docs is not None:
         docs.unpersist()

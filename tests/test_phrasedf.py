@@ -444,3 +444,84 @@ def test_query_log_mining(spark, indexed):
     from codebased_spark.plans.engine import QUERY_LOG_MAX
 
     assert index.query_log.maxlen == QUERY_LOG_MAX
+
+
+def test_sampled_miner_matches_exact_on_zipf(spark):
+    """sample_fraction runs candidate generation over a doc sample but
+    re-counts candidates exactly over the full corpus: on Zipfian
+    corpora (the shape mining targets) the result equals the exact
+    miner; fraction=1.0 must agree by construction."""
+    from codebased_spark.operators.phrasedf import top_ngrams_df
+    from codebased_spark.sources.corpus import gen_corpus
+
+    corpus = gen_corpus(spark, n_repos=20, files_per_repo=10)
+    for top_n in (8, 32):
+        exact = hot_phrases_from_corpus(corpus, top_n=top_n, key="digest")
+        full = hot_phrases_from_corpus(
+            corpus, top_n=top_n, key="digest", sample_fraction=1.0)
+        half = hot_phrases_from_corpus(
+            corpus, top_n=top_n, key="digest", sample_fraction=0.5)
+        assert full == exact
+        assert half == exact
+        # counts reported by the sampled plan are TRUE full-corpus
+        # counts (pass 2 is exact), not scaled sample counts
+        exact_df = {r["phrase"]: int(r["n"])
+                    for r in top_ngrams_df(corpus, top_n, key="text").collect()}
+        samp_df = {r["phrase"]: int(r["n"]) for r in top_ngrams_df(
+            corpus, top_n, key="digest", sample_fraction=0.5).collect()}
+        for p, n in samp_df.items():
+            assert exact_df.get(p, None) == n, p
+    with pytest.raises(ValueError):
+        hot_phrases_from_corpus(fixture_corpus(spark), sample_fraction=1.5)
+
+
+def test_sampled_miner_empty_sample_falls_back(spark):
+    """A sample that catches nothing must fall back to the exact path,
+    not return a silently-empty hot set."""
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+
+    one = spark.createDataFrame(
+        [("r", "a.py", "c" * 40, "python", "alpha alpha bravo")],
+        CORPUS_SCHEMA)
+    exact = hot_phrases_from_corpus(one, top_n=4, key="digest")
+    # fraction small enough that the single doc is (almost surely)
+    # dropped; determinism comes from the fixed seed either way
+    got = hot_phrases_from_corpus(one, top_n=4, key="digest",
+                                  sample_fraction=1e-9)
+    assert got == exact
+
+
+def test_empty_ngrams_rejected(spark):
+    from codebased_spark.operators.phrasedf import top_ngrams_df
+
+    with pytest.raises(ValueError, match="ngrams"):
+        top_ngrams_df(fixture_corpus(spark), 8, ngrams=())
+    with pytest.raises(ValueError, match="ngrams"):
+        hot_phrases_from_corpus(fixture_corpus(spark), ngrams=())
+
+
+def test_query_log_mining_concurrent_append():
+    """ADVICE r05: mining must snapshot the live deque — a concurrent
+    search appending to FtsIndex.query_log mid-iteration used to raise
+    RuntimeError('deque mutated during iteration')."""
+    import threading
+    from collections import deque
+
+    from codebased_spark.operators.phrasedf import hot_phrases_from_query_log
+
+    log = deque(['"hello world"'] * 500, maxlen=10_000)
+    stop = threading.Event()
+
+    def writer():
+        while not stop.is_set():
+            log.append('"hello world"')
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    try:
+        for _ in range(50):
+            mined = hot_phrases_from_query_log(log, top_n=4)
+            assert "hello world" in mined
+    finally:
+        stop.set()
+        t.join()
