@@ -134,6 +134,26 @@ def main() -> None:
     # the hot/mined sections below would only stretch its 1-core legs
     lite = os.environ.get("SPARK_GRAFT_BENCH_LITE") == "1"
 
+    # term->block presence pruning (operators/presence.py) is ON in all
+    # of the above (it's the engine default); record how many shards
+    # each query actually scheduled vs the total — driver-side only,
+    # costs nothing
+    extra: dict = {}
+    if index.term_blocks is not None:
+        from codebased_spark.functions.fts5 import phrase_terms as _pt
+        from codebased_spark.functions.fts5 import query_phrases as _qp
+        from codebased_spark.operators.query import _prune_posting_files
+
+        shards = {}
+        for name, q in QUERIES.items():
+            tids = [_pt(p) for p in _qp(q)]
+            shards[name] = len(_prune_posting_files(
+                index.posting_files, tids, None, index.term_blocks))
+        extra["presence"] = {
+            "n_shards_total": len(index.posting_files),
+            "shards_scanned": shards,
+        }
+
     # hot-phrase df side table (operators/phrasedf.py): build it for
     # the bench phrases (the operational model: a query log's hot set),
     # then time the same queries on the covered multi-trigram-WAND
@@ -142,7 +162,6 @@ def main() -> None:
     from codebased_spark.functions.fts5 import query_phrases
     from codebased_spark.operators.phrasedf import build_phrase_df
 
-    extra: dict = {}
     if not lite:
         hot = sorted({p for q in QUERIES.values() for p in query_phrases(q)})
         tp = time.time()
@@ -165,16 +184,26 @@ def main() -> None:
             "batch6_hot_total_sec": batch_hot_sec,
         })
 
-        # operational default (VERDICT r04 #8): the hot set MINED from
-        # the corpus itself (digest-keyed; no query oracle), as a
-        # deployment would bootstrap before query-log traffic exists.
-        # Bench queries whose every phrase landed in the mined top-64
-        # take the covered path; the rest fall back — the artifact
-        # records which.
-        from codebased_spark.operators.phrasedf import hot_phrases_from_corpus
+        # operational mining costs (VERDICT r05 #1). Two sources:
+        # (a) the QUERY LOG — the steady-state loop: the searches above
+        #     filled index.query_log, so mining it is a driver-side
+        #     frequency count (no Spark job at all);
+        # (b) the corpus bootstrap (before traffic exists), now with
+        #     sampled candidate generation (pass 1 over a 25% doc
+        #     sample, pass 2 re-counts candidates exactly — one full
+        #     n-gram expansion instead of two).
+        from codebased_spark.operators.phrasedf import (
+            hot_phrases_from_corpus,
+            hot_phrases_from_query_log,
+        )
+
+        tq = time.time()
+        log_mined = hot_phrases_from_query_log(index.query_log, top_n=64)
+        log_mine_sec = round(time.time() - tq, 4)
 
         tm = time.time()
-        mined = hot_phrases_from_corpus(corpus, top_n=64)
+        mined = hot_phrases_from_corpus(corpus, top_n=64,
+                                        sample_fraction=0.25)
         mine_sec = round(time.time() - tm, 3)
         tp = time.time()
         build_phrase_df(spark, index, mined)
@@ -182,18 +211,42 @@ def main() -> None:
         mined_covered = sorted(
             name for name, q in QUERIES.items()
             if index._covering_dfs(q) is not None)
-        index._search_cache.clear()
+        # INTERLEAVED covered-vs-uncovered A/B (the discipline VERDICT
+        # r04/r05 demanded: sequential sections on this drifting host
+        # are not comparable). Per query: alternate mined-covered and
+        # uncovered reps back-to-back, best-of-2 each.
+        from codebased_spark.plans.engine import FtsIndex
+
+        cold_idx = FtsIndex(spark, idx_dir)
+        cold_idx.driver_direct = False
+        cold_idx.phrase_dfs = {}
         q_mined: dict[str, float] = {}
+        q_mined_cold: dict[str, float] = {}
         for name, q in QUERIES.items():
-            t = time.time()
-            index.search(q, 32).collect()
-            q_mined[name] = round(time.time() - t, 3)
+            hots, colds = [], []
+            for _rep in range(2):
+                index._search_cache.clear()
+                cold_idx._search_cache.clear()
+                t = time.time()
+                index.search(q, 32).collect()
+                hots.append(time.time() - t)
+                t = time.time()
+                cold_idx.search(q, 32).collect()
+                colds.append(time.time() - t)
+            q_mined[name] = round(min(hots), 3)
+            q_mined_cold[name] = round(min(colds), 3)
         extra["mined_hot_phrases"] = {
+            "query_log_mine_sec": log_mine_sec,
+            "query_log_covers_all_bench_queries": all(
+                p in set(log_mined)
+                for q in QUERIES.values() for p in query_phrases(q)),
             "mine_sec": mine_sec,
+            "mine_sample_fraction": 0.25,
             "table_build_sec": mined_table_sec,
             "n_phrases": len(mined),
             "covered_queries": mined_covered,
             "queries": q_mined,
+            "queries_uncovered_interleaved": q_mined_cold,
         }
 
         # zero-job driver-direct path (engages automatically for stores

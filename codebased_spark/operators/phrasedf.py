@@ -311,11 +311,10 @@ def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
     _query_block_frames machinery queries use (stats only; the doc
     frames are discarded — this is a build-time job)."""
     from codebased_spark.operators.query import (
-        _POSTING_READ_COLUMNS,
-        _Row,
         _load_block_tombstones,
-        _pa_read_table,
         _query_block_frames,
+        _read_postings_term_filtered,
+        _rows_from_table,
     )
 
     def fn(it):
@@ -323,22 +322,10 @@ def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
         fs_cache: dict = {}
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
-                tbl = _pa_read_table(
-                    path, fs_cache, filters=[("term", "in", list(needed))],
-                    columns=_POSTING_READ_COLUMNS,
-                )
+                tbl = _read_postings_term_filtered(path, fs_cache, needed)
                 if tbl.num_rows == 0:
                     continue
-                # iterrows is fine here and stays fine if top_n grows:
-                # the term-filtered read bounds this frame to at most
-                # (#hot phrases x 3 trigrams x 3 cols) posting rows per
-                # block — row count scales with the PHRASE LIST, never
-                # the corpus
-                block = tbl.to_pandas()
-                rows = {
-                    (int(r["term"]), int(r["col"])): _Row(r)
-                    for _, r in block.iterrows()
-                }
+                rows = _rows_from_table(tbl)
                 deleted = _load_block_tombstones(
                     deletes_dir, pblock, tomb_cache, fs_cache
                 )

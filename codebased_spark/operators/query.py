@@ -892,6 +892,15 @@ def _block_candidates_pdf(pdf: pd.DataFrame, phrase_term_ids, deleted,
         (int(r["term"]), int(r["col"])): _Row(r)
         for _, r in pdf.iterrows()
     }
+    return _candidates_from_rows(rows, phrase_term_ids, deleted, top_k,
+                                 avgdl, known_idfs)
+
+
+def _candidates_from_rows(rows: dict, phrase_term_ids, deleted,
+                          top_k=None, avgdl=None, known_idfs=None) -> pd.DataFrame:
+    """Candidate rows from an already-built {(term, col): _Row} dict —
+    the shared tail of the pandas (_block_candidates_pdf) and
+    arrow-native (_file_candidates_fn) block scans."""
     stats, doc_frame = _query_block_frames(
         rows, phrase_term_ids, deleted, top_k=top_k, avgdl=avgdl,
         known_idfs=known_idfs,
@@ -967,6 +976,111 @@ def _pa_read_table(path: str, fs_cache: dict, **kw):
     return pq.read_table(real, filesystem=fs, **kw)
 
 
+def _rows_from_table(tbl) -> dict:
+    """{(term, col) -> _Row} straight from the term-filtered arrow
+    table — no pandas round-trip. ``to_pandas`` + ``iterrows`` + the
+    per-field Series lookups inside _Row cost ~17x the plain
+    numpy-object-array walk on the small slivers a query touches
+    (measured ~2.1 ms vs ~0.12 ms per block); at dozens-to-hundreds of
+    blocks per task that overhead rivaled the decode work itself."""
+    names = tbl.column_names
+    cols = [tbl[c].to_numpy(zero_copy_only=False) for c in names]
+    ti = names.index("term")
+    ci = names.index("col")
+    terms, colv = cols[ti], cols[ci]
+    out = {}
+    for i in range(tbl.num_rows):
+        rec = {n: c[i] for n, c in zip(names, cols)}
+        out[(int(terms[i]), int(colv[i]))] = _Row(rec)
+    return out
+
+
+_PF_META_LOCK = threading.Lock()
+_PF_META_CACHE: dict = {}
+
+
+def _posting_file_meta(path: str, fs_cache: dict):
+    """(ParquetFile-metadata, term-column-index) for a LOCAL posting
+    shard, cached process-wide keyed by (path, size, mtime_ns) — shards
+    are immutable once written, and the stat key makes the cache safe
+    across compaction's in-place dir swap (same path, new bytes). The
+    footer parse (~1-2 ms/file) otherwise re-runs on every query, on
+    the driver (direct path) and in each long-lived executor python
+    worker alike."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    st = _os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    with _PF_META_LOCK:
+        hit = _PF_META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    md = pq.ParquetFile(path).metadata
+    ci = None
+    for i in range(md.num_columns):
+        if md.row_group(0).column(i).path_in_schema == "term":
+            ci = i
+            break
+    out = (md, ci)
+    with _PF_META_LOCK:
+        if len(_PF_META_CACHE) > 65536:  # unbounded-growth backstop
+            _PF_META_CACHE.clear()
+        _PF_META_CACHE[key] = out
+    return out
+
+
+def _read_postings_term_filtered(path: str, fs_cache: dict, needed):
+    """Term-filtered posting-shard read, the hot-path replacement for
+    ``pq.read_table(filters=...)``: the dataset-API filtered read costs
+    ~10-30 ms of fragment/scanner setup PER FILE even when row-group
+    stats prune everything; doing the pruning by hand against the
+    cached footer (rows are term-sorted, so [min,max] overlap via
+    bisect) plus one ``is_in`` kernel on the surviving groups is
+    5-13x cheaper (measured) and returns the identical table. Remote
+    URIs keep the generic dataset path (footer round-trips dominate
+    there anyway)."""
+    from bisect import bisect_left
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from codebased_spark.plans.fsio import _scheme
+
+    needed = sorted(int(t) for t in needed)
+    if _scheme(path) != "":
+        return _pa_read_table(
+            path, fs_cache, filters=[("term", "in", needed)],
+            columns=_POSTING_READ_COLUMNS,
+        )
+    md, ci = _posting_file_meta(path, fs_cache)
+    rgs = []
+    for rg in range(md.num_row_groups):
+        if ci is None:
+            rgs.append(rg)
+            continue
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            rgs.append(rg)
+            continue
+        i = bisect_left(needed, int(st.min))
+        if i < len(needed) and needed[i] <= int(st.max):
+            rgs.append(rg)
+    if not rgs:
+        empty = pa.schema(
+            [(c, pa.int64()) for c in ("term", "col", "df")])
+        # schema only needs num_rows == 0 downstream; callers skip
+        # empty tables before touching columns
+        return pa.Table.from_pylist([], schema=empty)
+    pf = pq.ParquetFile(path, metadata=md)  # skip the re-parse
+    tbl = pf.read_row_groups(rgs, columns=_POSTING_READ_COLUMNS)
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(tbl["term"], value_set=pa.array(needed, pa.int64()))
+    return tbl.filter(mask)
+
+
 def _load_block_tombstones(deletes_dir, pblock: int, cache: dict, fs_cache: dict):
     """Task-side read of one pblock's tombstones (deletes/pblock=N/...).
     O(|block tombstones|) per task; nothing driver-side. Works on local
@@ -1023,20 +1137,13 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
         fs_cache: dict = {}
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
-                tbl = _pa_read_table(
-                    path, fs_cache, filters=[("term", "in", list(needed))],
-                    columns=_POSTING_READ_COLUMNS,
-                )
+                tbl = _read_postings_term_filtered(path, fs_cache, needed)
                 if tbl.num_rows == 0:
                     continue
                 deleted = _load_block_tombstones(
                     deletes_dir, pblock, tomb_cache, fs_cache
                 )
-                block = tbl.to_pandas()
-                rows = {
-                    (int(r["term"]), int(r["col"])): _Row(r)
-                    for _, r in block.iterrows()
-                }
+                rows = _rows_from_table(tbl)
                 cache: dict = {}
                 frames = []
                 for qid, term_ids in queries_terms:
@@ -1249,17 +1356,14 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
         fs_cache: dict = {}
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
-                tbl = _pa_read_table(
-                    path, fs_cache,
-                    filters=[("term", "in", list(needed))],
-                    columns=_POSTING_READ_COLUMNS,
-                )
+                tbl = _read_postings_term_filtered(path, fs_cache, needed)
                 if tbl.num_rows == 0:
                     continue
                 deleted = _load_block_tombstones(
                     deletes_dir, pblock, tomb_cache, fs_cache
                 )
-                out = _block_candidates_pdf(tbl.to_pandas(), phrase_term_ids,
+                out = _candidates_from_rows(_rows_from_table(tbl),
+                                            phrase_term_ids,
                                             deleted, top_k, avgdl, known_idfs)
                 if len(out):
                     yield out
@@ -1437,6 +1541,13 @@ def _batch_result_df(spark, out_rows) -> DataFrame:
 # term-filtered reads grow), so the gate sits at the conservative end
 # of the crossover; above it every query keeps the distributed plan.
 DRIVER_DIRECT_MAX_BYTES = 4 * 1024 * 1024
+# ...and at most this many shards: the serial driver scan costs
+# ~per-block-work x n_blocks, so a small-BYTES store fragmented into
+# many blocks loses to the distributed job floor anyway (measured r6:
+# 32-shard 2 MB store — direct ~0.5 s vs distributed ~0.4 s; 4-shard
+# repo store — direct 0.06-0.16 s vs ~0.4 s). The env override
+# engages the path regardless of both gates.
+DRIVER_DIRECT_MAX_SHARDS = 8
 # pyarrow's C++ reader releases the GIL, so a few reader threads
 # overlap I/O+decode without fighting the numpy block machinery
 DRIVER_DIRECT_THREADS = 8
@@ -1467,12 +1578,21 @@ def _direct_scan_rows(make_fn, posting_files):
     """A candidate-scan task body executed DRIVER-SIDE: ``make_fn()``
     returns the same generator function Spark's mapInPandas would run
     (identical reads, identical block machinery, identical emission
-    pruning), fed the shard list directly. Few shards run serially
-    (pool handoff costs more than the scan); more fan out over the
-    shared reader pool (deterministic gather order; each chunk owns
-    its own fs/tombstone caches via its own fn instance)."""
+    pruning), fed the shard list directly. LOCAL stores run serially:
+    with the row-group-pruned reader the scan body is GIL-bound
+    Python/numpy, and thread fan-out only thrashes (measured r6 on a
+    32-shard store: 8 threads 1.0 s vs serial 0.25 s — the r5 pool
+    paid off only while the dataset-API read's GIL-releasing C++
+    dominated). Remote URIs keep the pool: footer/data round-trips
+    release the GIL and genuinely overlap (deterministic gather order;
+    each chunk owns its own fs/tombstone caches via its own fn
+    instance)."""
+    from codebased_spark.plans.fsio import _scheme
+
     fn = lambda chunk: list(make_fn()([chunk]))  # noqa: E731
-    n_threads = min(DRIVER_DIRECT_THREADS, len(posting_files)) or 1
+    local = not posting_files or _scheme(posting_files[0][1]) == ""
+    n_threads = 1 if local else (
+        min(DRIVER_DIRECT_THREADS, len(posting_files)) or 1)
     chunks = [
         pd.DataFrame(posting_files[i::n_threads], columns=["pblock", "path"])
         for i in range(n_threads)

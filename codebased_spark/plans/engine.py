@@ -151,12 +151,16 @@ class FtsIndex:
         # SPARK_GRAFT_DRIVER_DIRECT=0/1 forces either way (tests, ops)
         import os as _os
 
-        from codebased_spark.operators.query import DRIVER_DIRECT_MAX_BYTES
+        from codebased_spark.operators.query import (
+            DRIVER_DIRECT_MAX_BYTES,
+            DRIVER_DIRECT_MAX_SHARDS,
+        )
 
         _dd = _os.environ.get("SPARK_GRAFT_DRIVER_DIRECT")
         if _dd is None or _dd == "":
             self.driver_direct = bool(self.posting_files) and \
-                0 < self.postings_bytes <= DRIVER_DIRECT_MAX_BYTES
+                0 < self.postings_bytes <= DRIVER_DIRECT_MAX_BYTES and \
+                len(self.posting_files) <= DRIVER_DIRECT_MAX_SHARDS
         elif _dd in ("0", "1"):
             self.driver_direct = bool(self.posting_files) and _dd == "1"
         else:
