@@ -382,12 +382,50 @@ def _incr_epoch(index) -> int:
         return 0
 
 
+def _phrase_table_paths(index):
+    """(pyarrow-openable dir path or None, spark dir path) for the
+    phrase table — None means pyarrow cannot reach the store and the
+    Spark reader/writer must serve."""
+    from codebased_spark.plans.engine import _join
+    from codebased_spark.plans.fsio import (
+        canonical_uri,
+        is_local,
+        local_path,
+        pyarrow_fs_path,
+    )
+
+    out_dir = _join(index.index_dir, PHRASE_DF_DIR)
+    if is_local(index.index_dir) and not index.index_dir.startswith("file:"):
+        return local_path(out_dir), out_dir
+    try:
+        fs, _real = pyarrow_fs_path(canonical_uri(out_dir))
+        return (canonical_uri(out_dir) if fs is not None else None), out_dir
+    except Exception:
+        return None, out_dir
+
+
+def _read_phrase_rows(spark, index) -> "list[dict] | None":
+    """The stored table as plain dicts via a DRIVER-side pyarrow read
+    (the table is tiny: |phrases| x |blocks| rows), so index loads and
+    delta rebuilds cost no Spark job for it. Returns None when only
+    the Spark reader can reach the store (caller falls back)."""
+    pa_dir, _ = _phrase_table_paths(index)
+    if pa_dir is None:
+        return None
+    from codebased_spark.operators.query import _pa_read_table
+
+    return _pa_read_table(pa_dir, {}).to_pylist()
+
+
 def _write_phrase_table(spark, index, block_rows, phrase_order) -> dict:
     """Persist per-block rows + zero-marker rows (pblock=-1 keeps
     phrases with no matches — including sub-trigram ones — in the
     table: the covered AND-fail short-circuit depends on their (0,0)
     entries), stamp the manifest with the CURRENT corpus fingerprint,
-    and return the aggregated dict."""
+    and return the aggregated dict. The write is DRIVER-side pyarrow
+    whenever the store is pyarrow-reachable — the table is tiny, and
+    skipping the Spark write removes a whole job from every (re)build;
+    only unreachable stores pay the Spark path."""
     from codebased_spark.plans.engine import FORMAT_VERSION, _join
 
     have = {p for p, _pb, _da, _dn in block_rows}
@@ -399,9 +437,32 @@ def _write_phrase_table(spark, index, block_rows, phrase_order) -> dict:
     index.fs.delete(_join(index.index_dir, "_manifest",
                           f"{PHRASE_DF_MANIFEST}.json"))
     index.fs.delete(out_dir)
-    spark.createDataFrame(
-        table_rows, "phrase string, pblock int, df_all long, df_name long"
-    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    pa_dir, _ = _phrase_table_paths(index)
+    if pa_dir is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "phrase": pa.array([r[0] for r in table_rows], pa.string()),
+            "pblock": pa.array([int(r[1]) for r in table_rows], pa.int32()),
+            "df_all": pa.array([int(r[2]) for r in table_rows], pa.int64()),
+            "df_name": pa.array([int(r[3]) for r in table_rows], pa.int64()),
+        })
+        if "://" not in pa_dir:
+            import os as _os
+
+            _os.makedirs(pa_dir, exist_ok=True)
+            pq.write_table(tbl, pa_dir + "/part-00000.parquet")
+        else:
+            from codebased_spark.plans.fsio import pyarrow_fs_path
+
+            fs, real = pyarrow_fs_path(pa_dir)
+            fs.create_dir(real, recursive=True)
+            pq.write_table(tbl, real + "/part-00000.parquet", filesystem=fs)
+    else:
+        spark.createDataFrame(
+            table_rows, "phrase string, pblock int, df_all long, df_name long"
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
     index.fs.write_json(
         _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"),
         {
@@ -506,11 +567,13 @@ def update_phrase_df(spark: SparkSession, index,
     if not index.posting_files:
         return None
     try:
-        old = spark.read.parquet(
-            _join(index.index_dir, PHRASE_DF_DIR)).collect()
+        old = _read_phrase_rows(spark, index)
+        if old is None:
+            old = [r.asDict() for r in spark.read.parquet(
+                _join(index.index_dir, PHRASE_DF_DIR)).collect()]
     except Exception:
         return None
-    if not old or "pblock" not in old[0].asDict():
+    if not old or "pblock" not in old[0]:
         return None  # pre-per-block layout: full rebuild required
     phrase_order = list(dict.fromkeys(r["phrase"] for r in old))
     dirty = {int(b) for b in dirty_pblocks}
@@ -552,8 +615,11 @@ def load_phrase_df(spark: SparkSession, index) -> dict:
                 and int(man["epoch"]) != _incr_epoch(index))
         ):
             return {}
-        rows = spark.read.parquet(_join(index.index_dir, PHRASE_DF_DIR)).collect()
-        if rows and "pblock" in rows[0].asDict():
+        rows = _read_phrase_rows(spark, index)
+        if rows is None:
+            rows = [r.asDict() for r in spark.read.parquet(
+                _join(index.index_dir, PHRASE_DF_DIR)).collect()]
+        if rows and "pblock" in rows[0]:
             agg: dict = {}
             for r in rows:  # per-block layout: dfs are additive
                 a = agg.setdefault(r["phrase"], [0, 0])
