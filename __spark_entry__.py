@@ -591,6 +591,46 @@ def q_fts_index_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
 
 
+def q_fts_after_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search THROUGH an incrementally-committed index under the oracle
+    (r6): build over a deterministic half of the documents corpus, fold
+    the FULL corpus in as a batch (the sha gate passes only the missing
+    half; fresh blocks append above the existing ones; the presence
+    manifest delta-extends to cover them), then search the reloaded
+    index. The oracle recomputes BM25 over the full table from scratch,
+    so this pins — at VALUE level — the sha gate, block-offset
+    assignment, exact N/avgdl maintenance (both feed every score), and
+    shard pruning across a mixed covered/freshly-covered block set."""
+    import shutil
+    import tempfile
+
+    from codebased_spark.plans.engine import build_index
+    from codebased_spark.streaming.incremental import incremental_update
+
+    corpus = _documents_as_index_corpus(_documents(spark, sf_dir))
+    half = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    idx_dir = tempfile.mkdtemp(prefix="gate_fts_incr_")
+    try:
+        build_index(spark, half, idx_dir, num_blocks=4)
+        index = incremental_update(spark, idx_dir, corpus)
+        index.driver_direct = False  # pin the distributed plan
+        assert index.term_blocks is not None  # presence active & extended
+        hits = index.search("table merge", K_ALL)
+        out = (
+            index.doc_stats.select("doc_id", "path")
+            .join(F.broadcast(hits), "doc_id")
+            .select(
+                F.substring("path", 2, 9).cast("long").alias("doc_id"),
+                "name_match",
+                F.round("score", 6).alias("score"),
+            )
+        )
+        rows = out.collect()  # materialize before the tmp dir is removed
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, name_match boolean, score double")
+
+
 def q_fts_hot_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The covered multi-trigram WAND path under the oracle (r4): the
     same real index as fts_bm25_index_path plus the phrase-df side
@@ -1356,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_index_path": q_fts_index_path,
         "fts_bm25_direct_path": q_fts_direct_path,
         "fts_bm25_hot_covered": q_fts_hot_covered,
+        "fts_bm25_after_commit": q_fts_after_commit,
         "trigram_document_frequency": q_trigram_df,
         "hot_phrase_mining": q_hot_phrase_mining,
         "doc_digest_fingerprint": q_doc_digest,
@@ -1404,6 +1445,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_index_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
         # same oracle: the direct path must be value-identical
         "fts_bm25_direct_path": _bm25_sql(["value"], named=False, top_k=K_ALL),
+        "fts_bm25_after_commit": _bm25_sql(["table", "merge"], named=False,
+                                           top_k=K_ALL),
         "fts_bm25_hot_covered": _bm25_sql(["table", "merge"], named=False,
                                           top_k=K_ALL),
         "trigram_document_frequency": TRIGRAM_DF_SQL,
