@@ -75,32 +75,53 @@ class TermBlocks:
     cache never holds partial entries.
     """
 
-    def __init__(self, data_dir: str, covered) -> None:
+    def __init__(self, data_dir: str, covered, preload: bool = False) -> None:
         self.data_dir = data_dir
         self.covered = frozenset(int(b) for b in covered)
         self._cache: dict[int, frozenset] = {}
         self._fs_cache: dict = {}
+        self._complete = False
+        if preload:
+            # small tables (the embedded/direct regime) load whole at
+            # index open: per-query lookups then never touch disk, and
+            # absent terms resolve without a read at all
+            try:
+                self._load(None)
+                self._complete = True
+            except Exception:
+                self._cache.clear()
+
+    def _load(self, terms) -> None:
+        """Fill the cache from disk for ``terms`` (None = everything)."""
+        from codebased_spark.operators.query import _pa_read_table
+
+        kw = {"filters": [("term", "in", terms)]} if terms else {}
+        tbl = _pa_read_table(
+            self.data_dir, self._fs_cache,
+            columns=["term", "blocks"], **kw,
+        )
+        found: dict[int, set] = {}
+        # append-only layout: a term may have one row per commit
+        # generation — union them
+        for t, bl in zip(tbl["term"].to_pylist(), tbl["blocks"].to_pylist()):
+            found.setdefault(int(t), set()).update(int(b) for b in bl)
+        if terms is None:
+            for t, s in found.items():
+                self._cache[t] = frozenset(s)
+        else:
+            for t in terms:
+                self._cache[int(t)] = frozenset(found.get(int(t), ()))
 
     def blocks_for(self, terms) -> dict[int, frozenset]:
         """{term -> frozenset(pblock)} for every requested term (terms
         absent from the table map to an empty set — they occur in no
         covered block)."""
-        from codebased_spark.operators.query import _pa_read_table
-
+        if self._complete:
+            return {int(t): self._cache.get(int(t), frozenset())
+                    for t in terms}
         missing = [int(t) for t in terms if int(t) not in self._cache]
         if missing:
-            tbl = _pa_read_table(
-                self.data_dir, self._fs_cache,
-                filters=[("term", "in", missing)],
-                columns=["term", "blocks"],
-            )
-            found: dict[int, set] = {}
-            # append-only layout: a term may have one row per commit
-            # generation — union them
-            for t, bl in zip(tbl["term"].to_pylist(), tbl["blocks"].to_pylist()):
-                found.setdefault(int(t), set()).update(int(b) for b in bl)
-            for t in missing:
-                self._cache[t] = frozenset(found.get(t, ()))
+            self._load(missing)
         return {int(t): self._cache[int(t)] for t in terms}
 
 
@@ -177,15 +198,18 @@ def build_term_blocks(spark: SparkSession, index_dir: str, fs=None) -> dict:
 
 
 def update_term_blocks(
-    spark: SparkSession, index_dir: str, fs, min_new_pblock: int
+    spark: SparkSession, index_dir: str, fs, min_new_pblock: int = 0
 ) -> "dict | None":
     """Delta-extend the presence table after an incremental commit:
-    scan ONLY shards with pblock >= ``min_new_pblock`` (partition
-    pruning makes this O(changed blocks)), append their term sets as a
-    new file, then extend ``covered_pblocks``. No-op (returns None)
-    when no manifest exists — presence stays opt-in per index. A crash
-    after the append but before the manifest leaves the new blocks
-    uncovered (scanned unpruned) — correct either way."""
+    scan ONLY shards not yet in ``covered_pblocks`` (partition pruning
+    makes this O(uncovered blocks) — normally just this commit's
+    appended blocks, but a PRIOR crashed update's blocks self-heal here
+    too), append their term sets as a new file, then extend
+    ``covered_pblocks``. No-op (returns None) when no manifest exists —
+    presence stays opt-in per index. A crash after the append but
+    before the manifest leaves the new blocks uncovered (scanned
+    unpruned) — correct either way. ``min_new_pblock`` is retained as
+    a hint for callers but coverage is derived from the manifest."""
     from codebased_spark.operators.build import POSTING_SCHEMA
     from codebased_spark.plans.engine import (
         FORMAT_VERSION,
@@ -203,7 +227,8 @@ def update_term_blocks(
             return None
     except Exception:
         return None
-    new_pbs = [b for b in _listed_pblocks(fs, index_dir) if b >= min_new_pblock]
+    already = {int(b) for b in man.get("covered_pblocks", [])}
+    new_pbs = [b for b in _listed_pblocks(fs, index_dir) if b not in already]
     if not new_pbs:
         return man
     spark.catalog.refreshByPath(_join(index_dir, "postings"))
@@ -211,12 +236,11 @@ def update_term_blocks(
         _join(index_dir, "postings"))
     _write_pairs(
         spark,
-        postings.filter(F.col("pblock") >= min_new_pblock)
+        postings.filter(F.col("pblock").isin([int(b) for b in new_pbs]))
         .select("term", F.col("pblock").cast("int").alias("pblock")),
         _join(index_dir, TERM_BLOCKS_DIR), "append",
     )
-    covered = sorted(set(int(b) for b in man.get("covered_pblocks", []))
-                     | set(new_pbs))
+    covered = sorted(already | set(new_pbs))
     payload = {
         "stage": TERM_BLOCKS_MANIFEST,
         "version": FORMAT_VERSION,
@@ -252,4 +276,13 @@ def load_term_blocks(index) -> "TermBlocks | None":
         data = local_path(data_dir)
     else:
         data = canonical_uri(data_dir)
-    return TermBlocks(data, covered)
+    try:
+        table_bytes = sum(sz for p, sz in index.fs.list_files(data_dir)
+                          if p.endswith(".parquet"))
+    except Exception:
+        table_bytes = None
+    # small tables preload whole (see TermBlocks.__init__); the 4 MiB
+    # line matches the direct-path regime where cold-lookup latency
+    # (~27 ms) would be a meaningful share of a ~20 ms query
+    preload = table_bytes is not None and 0 < table_bytes <= 4 * 1024 * 1024
+    return TermBlocks(data, covered, preload=preload)

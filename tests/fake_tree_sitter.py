@@ -421,7 +421,7 @@ def _go_parse(src: bytes) -> Tree:
         claimed.append((m.start(), end))
 
     for m in _GO_TYPE_GROUP_RE.finditer(src):
-        end = brace_close = src.find(b")", m.end())
+        end = src.find(b")", m.end())
         end = len(src) if end < 0 else end + 1
         specs = []
         prev_end = m.end()
@@ -435,7 +435,6 @@ def _go_parse(src: bytes) -> Tree:
                               fields={"name": [name]}, children=[name]))
         out.append(node("type_declaration", m.start(), end, children=specs))
         claimed.append((m.start(), end))
-        del brace_close
 
     for m in _GO_TYPE_ONE_RE.finditer(src):
         if any(a <= m.start() < b for a, b in claimed):

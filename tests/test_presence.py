@@ -231,3 +231,34 @@ def test_noop_commit_short_circuits(spark, tmp_path):
     assert idx.n_docs == 1
     assert sorted(os.listdir(os.path.join(idx_dir, "_manifest"))) == man_before
     assert len(idx.search("alpha", 10).collect()) == 1
+
+
+def test_crashed_update_self_heals_on_next_commit(spark, tmp_path, monkeypatch):
+    """Blocks left uncovered by a crashed presence update are picked up
+    by the NEXT commit's delta update (coverage derives from the
+    manifest, not the commit's offset)."""
+    import codebased_spark.operators.presence as presence_mod
+
+    idx_dir = str(tmp_path / "idx")
+    from codebased_spark.streaming.incremental import incremental_update
+
+    v1 = [("r", "a.py", "c" * 40, "python", "alpha common")]
+    v2 = v1 + [("r", "b.py", "d" * 40, "python", "zulu common")]
+    v3 = v2 + [("r", "c.py", "e" * 40, "python", "quebec common")]
+    build_index(spark, spark.createDataFrame(v1, CORPUS_SCHEMA), idx_dir,
+                num_blocks=2)
+    # commit 1: presence update crashes (skipped)
+    monkeypatch.setattr(presence_mod, "update_term_blocks",
+                        lambda *a, **k: None)
+    incremental_update(spark, idx_dir, spark.createDataFrame(v2, CORPUS_SCHEMA))
+    monkeypatch.undo()
+    # commit 2: normal — must cover commit 1's blocks too
+    idx = incremental_update(
+        spark, idx_dir, spark.createDataFrame(v3, CORPUS_SCHEMA))
+    tb = idx.term_blocks
+    assert {pb for pb, _ in idx.posting_files} <= tb.covered
+    t_zul = pack_trigram("zul")
+    assert tb.blocks_for([t_zul])[t_zul], "commit-1 block healed"
+    assert len(idx.search("zulu", 10).collect()) == 1
+    assert len(idx.search("quebec", 10).collect()) == 1
+    assert len(idx.search("common", 10).collect()) == 3

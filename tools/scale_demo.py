@@ -154,6 +154,21 @@ def main() -> None:
         index.search_batch(list(QUERIES.values()), 32).count()
         batch_sec = round(time.time() - tb, 3)
 
+        # presence pruning at this block count (driver-side, free):
+        # shards each query would schedule vs the total
+        presence = {}
+        if index.term_blocks is not None:
+            from codebased_spark.functions.fts5 import phrase_terms
+
+            shards = {}
+            for name, qq in QUERIES.items():
+                tids = [phrase_terms(p) for p in query_phrases(qq)]
+                shards[name] = len(q._prune_posting_files(
+                    index.posting_files, tids, None, index.term_blocks))
+            presence = {"presence": {
+                "n_shards_total": len(index.posting_files),
+                "shards_scanned": shards}}
+
         lat = sorted(v["sec"] for v in cold.values())
         lat_hot = sorted(v["sec"] for v in hot.values())
         print(json.dumps({
@@ -172,6 +187,7 @@ def main() -> None:
             "hw_np_sort8M_after_sec": probe_after,
             "queries": cold,
             "queries_hot": hot,
+            **presence,
         }), flush=True)
 
     q._finish_driver, q._finish_jvm = orig_fd, orig_fj
