@@ -160,7 +160,7 @@ def top_ngrams_df(
         if key not in ("digest", "text"):
             raise ValueError(f"key must be 'digest' or 'text', got {key!r}")
         return _top_ngrams_sampled(
-            corpus, bg, top_n, text_col, tuple(ngrams),
+            corpus, bg, top_n, text_col, key, tuple(ngrams),
             float(sample_fraction), int(oversample))
     if key == "text":
         return (
@@ -210,7 +210,7 @@ def top_ngrams_df(
     )
 
 
-def _top_ngrams_sampled(corpus, bg_full, top_n, text_col, ngrams,
+def _top_ngrams_sampled(corpus, bg_full, top_n, text_col, key, ngrams,
                         fraction, oversample):
     """Sampled candidate generation + exact full-corpus re-count (the
     ``sample_fraction`` branch of :func:`top_ngrams_df`): pass 1
@@ -232,8 +232,9 @@ def _top_ngrams_sampled(corpus, bg_full, top_n, text_col, ngrams,
         if not head:
             # the sample caught nothing (tiny corpus / tiny fraction):
             # the exact path is cheap there — run it instead of
-            # returning a silently-empty hot set
-            return top_ngrams_df(corpus, top_n, text_col, "digest", ngrams)
+            # returning a silently-empty hot set (honoring the
+            # caller's key choice)
+            return top_ngrams_df(corpus, top_n, text_col, key, ngrams)
         boundary = min(int(r["n"]) for r in head)
         cap = max(4 * n_cand, 2048)
         cand = dcounts.filter(F.col("n") >= boundary).select("d").limit(
@@ -367,17 +368,26 @@ def _phrase_block_stats(spark, index, pts, needed, posting_files):
              int(r["df_all"]), int(r["df_name"])) for r in rows]
 
 
+def incr_epoch_at(fs, index_dir: str) -> int:
+    """Number of incremental-commit manifests under ``index_dir`` —
+    the single definition shared by the commit writer (which names the
+    next ``incr_<epoch>`` manifest) and the phrase-df staleness
+    fingerprint, so the two can never diverge. Raises on listing
+    failure — the writer must not silently restart at epoch 0."""
+    from codebased_spark.plans.engine import _join
+
+    return len([f for f in fs.list_dir(_join(index_dir, "_manifest"))
+                if f.startswith("incr_")])
+
+
 def _incr_epoch(index) -> int:
     """Number of incremental-commit manifests — part of the phrase-df
     staleness fingerprint. (n_docs, total_dl) alone can collide: a
     same-length single-file edit preserves both, and with the delta
     path the PRE-commit table now survives on disk, so a crash between
     commit and update_phrase_df must still leave it detectably stale."""
-    from codebased_spark.plans.engine import _join
-
     try:
-        return len([f for f in index.fs.list_dir(
-            _join(index.index_dir, "_manifest")) if f.startswith("incr_")])
+        return incr_epoch_at(index.fs, index.index_dir)
     except Exception:
         return 0
 

@@ -198,7 +198,7 @@ def build_term_blocks(spark: SparkSession, index_dir: str, fs=None) -> dict:
 
 
 def update_term_blocks(
-    spark: SparkSession, index_dir: str, fs, min_new_pblock: int = 0
+    spark: SparkSession, index_dir: str, fs
 ) -> "dict | None":
     """Delta-extend the presence table after an incremental commit:
     scan ONLY shards not yet in ``covered_pblocks`` (partition pruning
@@ -208,8 +208,8 @@ def update_term_blocks(
     ``covered_pblocks``. No-op (returns None) when no manifest exists —
     presence stays opt-in per index. A crash after the append but
     before the manifest leaves the new blocks uncovered (scanned
-    unpruned) — correct either way. ``min_new_pblock`` is retained as
-    a hint for callers but coverage is derived from the manifest."""
+    unpruned) — correct either way. Coverage is derived purely from
+    the manifest (no caller-supplied block offset)."""
     from codebased_spark.operators.build import POSTING_SCHEMA
     from codebased_spark.plans.engine import (
         FORMAT_VERSION,

@@ -1215,14 +1215,10 @@ def search_index_files_batch(
         queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return empty
-    posting_files, parsed, known_idfs_by_qid = _prune_batch(
+    posting_files, parsed, known_idfs_by_qid, needed = _prune_batch(
         posting_files, parsed, known_idfs_by_qid, presence)
     if not parsed or not posting_files:
         return empty
-    if presence is not None:
-        # dropped queries' terms need not be read in the shared scan
-        needed = sorted(
-            {int(t) for _, _, tids in parsed for ts in tids for t in ts})
     # Tail routing on the driver-side candidate bound (VERDICT r03 #2,
     # same derivation as _tail_bound): when even the optimistic bound
     # exceeds the cap, go straight to the JVM plan with no probe
@@ -1679,6 +1675,13 @@ def _prune_posting_files(posting_files, term_ids, known_idfs, presence):
     """
     if presence is None or not posting_files:
         return posting_files
+    if not term_ids or any(not ts for ts in term_ids):
+        # a trigram-less phrase (< 3 chars) carries no presence
+        # information — it could match in any block, so pruning has
+        # nothing to stand on. Engine paths never get here
+        # (_parse_single rejects such queries) but direct callers
+        # (bench tooling) feed raw phrase_terms() output.
+        return posting_files
     covered = presence.covered
     has_uncovered = any(pb not in covered for pb, _ in posting_files)
     try:
@@ -1712,9 +1715,15 @@ def _prune_batch(posting_files, parsed, known_idfs_by_qid, presence):
     for query B emits nothing for query A whose set excluded it —
     same argument as single-query pruning). Queries whose own set is
     empty are dropped (they provably yield no rows). Returns
-    (files, parsed, known_idfs_by_qid)."""
+    (files, parsed, known_idfs_by_qid, needed) where ``needed`` is the
+    surviving queries' sorted term-id union — dropped queries' terms
+    need not be read in the shared scan."""
+    def _needed(ps):
+        return sorted({int(t) for _, _, tids in ps for ts in tids
+                       for t in ts})
+
     if presence is None or not posting_files:
-        return posting_files, parsed, known_idfs_by_qid
+        return posting_files, parsed, known_idfs_by_qid, _needed(parsed)
     keep_paths: dict = {}
     parsed2 = []
     known2 = {}
@@ -1729,7 +1738,7 @@ def _prune_batch(posting_files, parsed, known_idfs_by_qid, presence):
         for pb, p in files_q:
             keep_paths[(pb, p)] = None
     files = [fp for fp in posting_files if fp in keep_paths]
-    return files, parsed2, known2
+    return files, parsed2, known2, _needed(parsed2)
 
 
 def _direct_query_rows(query, posting_files, n_docs, avgdl, top_k,
@@ -1802,13 +1811,10 @@ def search_index_files_batch_direct(
         queries, n_docs, phrase_dfs_by_query)
     if not parsed or not posting_files:
         return _batch_result_df(spark, [])
-    posting_files, parsed, known_idfs_by_qid = _prune_batch(
+    posting_files, parsed, known_idfs_by_qid, needed = _prune_batch(
         posting_files, parsed, known_idfs_by_qid, presence)
     if not parsed or not posting_files:
         return _batch_result_df(spark, [])
-    if presence is not None:
-        needed = sorted(
-            {int(t) for _, _, tids in parsed for ts in tids for t in ts})
     rows = _direct_scan_rows(
         lambda: _batch_candidates_fn(
             [(qi, tids) for qi, _, tids in parsed], needed, deletes_dir,

@@ -218,10 +218,9 @@ def incremental_update(
             ).coalesce(1).write.mode("overwrite").parquet(
                 _join(index_dir, "corpus_stats")
             )
-            epoch = len(
-                [f for f in idx.fs.list_dir(_join(index_dir, "_manifest"))
-                 if f.startswith("incr_")]
-            )
+            from codebased_spark.operators.phrasedf import incr_epoch_at
+
+            epoch = incr_epoch_at(idx.fs, index_dir)
             _write_manifest(
                 idx.fs, index_dir, f"incr_{epoch}",
                 {"stage": f"incr_{epoch}", "version": FORMAT_VERSION,
@@ -240,7 +239,7 @@ def incremental_update(
             # (scanned unpruned), never a wrong prune.
             from codebased_spark.operators.presence import update_term_blocks
 
-            update_term_blocks(spark, index_dir, idx.fs, offset)
+            update_term_blocks(spark, index_dir, idx.fs)
     finally:
         new_files.unpersist()
     out = FtsIndex(spark, index_dir, force_jvm=force_jvm,

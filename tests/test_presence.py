@@ -129,6 +129,21 @@ def test_uncovered_blocks_always_scanned():
     assert _prune_posting_files([(0, "p0"), (1, "p1")], [[10]], None, tb) == []
 
 
+def test_trigramless_phrase_degrades_to_full_scan():
+    """A phrase shorter than 3 chars has no trigrams, so presence has
+    no information about it — pruning must keep every shard instead of
+    crashing (direct callers like bench.py feed raw phrase_terms()
+    output, which is [] for such phrases)."""
+    tb = TermBlocks("/nonexistent", covered=[0, 1])
+    tb._cache = {10: frozenset({0})}
+    files = [(0, "p0"), (1, "p1")]
+    assert _prune_posting_files(files, [[]], None, tb) == files
+    assert _prune_posting_files(files, [[10], []], None, tb) == files
+    assert _prune_posting_files(files, [], None, tb) == files
+    known = ([1.0], [0.0])
+    assert _prune_posting_files(files, [[]], known, tb) == files
+
+
 def test_lookup_failure_degrades_to_full_scan(built):
     index, _ = built
 
@@ -193,7 +208,7 @@ def test_commit_without_update_degrades_not_breaks(spark, tmp_path, monkeypatch)
     assert len(idx.search("zulu", 10).collect()) == 1
     assert len(idx.search("common", 10).collect()) == 2
     # ...and a later explicit delta update repairs coverage
-    update_term_blocks(spark, idx_dir, idx.fs, min(new_blocks))
+    update_term_blocks(spark, idx_dir, idx.fs)
     idx2 = FtsIndex(spark, idx_dir)
     assert {pb for pb, _ in idx2.posting_files} <= idx2.term_blocks.covered
     assert len(idx2.search("zulu", 10).collect()) == 1
