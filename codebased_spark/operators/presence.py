@@ -29,7 +29,8 @@ Exactness (why pruning can never change results):
 On-disk layout (<index>/term_blocks/): parquet rows
 (term long, blocks array<int>), each file sorted by term with small
 row groups so a per-query term filter prunes to O(#query terms) row
-groups. The layout is APPEND-ONLY: an incremental commit appends one
+groups; ``blocks == [DENSE_SENTINEL]`` means "every covered block"
+(dense-term cap, see Scale notes). The layout is APPEND-ONLY: an incremental commit appends one
 small file holding only the NEW blocks' term sets (a scan of just the
 new shards' term column — O(changed blocks), the delta-maintenance
 shape VERDICT r05 asked for on phrase-df); the reader unions rows per
@@ -42,10 +43,25 @@ Scale notes: the table holds one row per (term, file-generation) with
 a block-id array — Sigma_block |distinct terms(block)| entries total,
 i.e. proportional to distinct posting rows, ~0.1-1% of index bytes
 (term ids dictionary-encode, block arrays are deltas of small ints).
-Query-time lookups are driver-side pyarrow reads of O(#query terms)
-row groups with a per-term cache on the index handle; at extreme term
-counts the same table could be bucketed by term hash and looked up
-per-bucket, with no change to the pruning contract.
+Without a cap that sum is Zipf-dominated by DENSE terms: a trigram
+present in every one of 50k shards would cost a 50k-entry array while
+contributing ZERO pruning (intersecting with "everything" never drops
+a block). So any term present in >= DENSE_BLOCK_FRACTION of the blocks
+a write scanned is stored as the single-element sentinel array
+``[DENSE_SENTINEL]``, which readers resolve to "every covered block".
+That bounds per-term cost at O(min(df_blocks, fraction*n_blocks)) and
+keeps the whole table proportional to what the RARE terms — the only
+ones pruning can act on — actually occupy. Resolution against the
+CURRENT covered set (which can only have grown since the write) and
+delta writes judging density against only their own scanned blocks are
+both over-approximations, which the exactness argument above already
+absorbs: a too-big presence set only loses pruning, never rows.
+Writes scanning fewer than MIN_BLOCKS_FOR_DENSE blocks store exact
+arrays (they're tiny, and a 1-block delta must not mark its every term
+dense). Query-time lookups are driver-side pyarrow reads of
+O(#query terms) row groups with a per-term cache on the index handle;
+at extreme term counts the same table could be bucketed by term hash
+and looked up per-bucket, with no change to the pruning contract.
 
 No reference counterpart: codebased's SQLite FTS5 is one B-tree where
 "which segment holds this term" is the tree descent itself
@@ -63,6 +79,15 @@ TERM_BLOCKS_MANIFEST = "term_blocks"
 # small row groups => a query's term filter reads O(#query terms) of
 # them; same rationale as engine.POSTING_ROW_GROUP_BYTES
 TERM_BLOCKS_ROW_GROUP_BYTES = 256 * 1024
+# dense-term cap (see module docstring): a term in >= this fraction of
+# a write's scanned blocks is stored as [DENSE_SENTINEL] ("every
+# covered block") — no pruning power lost worth the array it replaces
+DENSE_SENTINEL = -1
+DENSE_BLOCK_FRACTION = 0.5
+# below this many scanned blocks exact arrays are already tiny, and a
+# small delta judging density against itself would wrongly mark every
+# term it sees dense
+MIN_BLOCKS_FOR_DENSE = 16
 
 
 class TermBlocks:
@@ -105,12 +130,18 @@ class TermBlocks:
         # generation — union them
         for t, bl in zip(tbl["term"].to_pylist(), tbl["blocks"].to_pylist()):
             found.setdefault(int(t), set()).update(int(b) for b in bl)
+        # a dense sentinel in ANY generation resolves the term to the
+        # whole current covered set (a superset of the write-time one —
+        # over-approximation, pruning-safe)
+        def _resolve(s):
+            return self.covered if DENSE_SENTINEL in s else frozenset(s)
+
         if terms is None:
             for t, s in found.items():
-                self._cache[t] = frozenset(s)
+                self._cache[t] = _resolve(s)
         else:
             for t in terms:
-                self._cache[int(t)] = frozenset(found.get(int(t), ()))
+                self._cache[int(t)] = _resolve(found.get(int(t), set()))
 
     def blocks_for(self, terms) -> dict[int, frozenset]:
         """{term -> frozenset(pblock)} for every requested term (terms
@@ -141,15 +172,30 @@ def _listed_pblocks(fs, index_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _write_pairs(spark: SparkSession, pairs_df, out_dir: str, mode: str) -> None:
+def _write_pairs(
+    spark: SparkSession, pairs_df, out_dir: str, mode: str,
+    n_scanned_blocks: int = 0,
+) -> None:
     """(term, pblock) rows -> one sorted (term, blocks) parquet file.
     ONE shuffle (collect_set partial-aggregates map-side); coalesce(1)
     then an in-partition sort keeps row-group min/max monotone in term.
     At larger scale substitute repartitionByRange(n, "term") for the
-    coalesce — every reader already handles multi-file dirs."""
+    coalesce — every reader already handles multi-file dirs.
+    ``n_scanned_blocks`` (the number of distinct pblocks this write's
+    scan covers) arms the dense-term cap: terms present in >=
+    DENSE_BLOCK_FRACTION of them collapse to [DENSE_SENTINEL]."""
+    import math
+
+    blocks = F.sort_array(F.collect_set("pblock"))
+    if n_scanned_blocks >= MIN_BLOCKS_FOR_DENSE:
+        cutoff = int(math.ceil(DENSE_BLOCK_FRACTION * n_scanned_blocks))
+        blocks = F.when(
+            F.size(blocks) >= cutoff,
+            F.array(F.lit(DENSE_SENTINEL).cast("int")),
+        ).otherwise(blocks)
     (
         pairs_df.groupBy("term")
-        .agg(F.sort_array(F.collect_set("pblock")).alias("blocks"))
+        .agg(blocks.alias("blocks"))
         .coalesce(1)
         .sortWithinPartitions("term")
         .write.mode(mode)
@@ -186,7 +232,7 @@ def build_term_blocks(spark: SparkSession, index_dir: str, fs=None) -> dict:
         _join(index_dir, "postings"))
     _write_pairs(
         spark, postings.select("term", F.col("pblock").cast("int").alias("pblock")),
-        out_dir, "overwrite",
+        out_dir, "overwrite", n_scanned_blocks=len(covered),
     )
     payload = {
         "stage": TERM_BLOCKS_MANIFEST,
@@ -239,6 +285,7 @@ def update_term_blocks(
         postings.filter(F.col("pblock").isin([int(b) for b in new_pbs]))
         .select("term", F.col("pblock").cast("int").alias("pblock")),
         _join(index_dir, TERM_BLOCKS_DIR), "append",
+        n_scanned_blocks=len(new_pbs),
     )
     covered = sorted(already | set(new_pbs))
     payload = {

@@ -144,6 +144,95 @@ def test_trigramless_phrase_degrades_to_full_scan():
     assert _prune_posting_files(files, [[]], known, tb) == files
 
 
+def _write_tb_parquet(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"term": pa.array([t for t, _ in rows], pa.int64()),
+                  "blocks": pa.array([b for _, b in rows],
+                                     pa.list_(pa.int32()))}),
+        os.path.join(path, "part-0.parquet"))
+
+
+def test_dense_sentinel_resolves_to_covered(tmp_path):
+    """[DENSE_SENTINEL] rows resolve to the CURRENT covered set, on
+    both the lazy and the preload read path, and union correctly with
+    exact rows from other generations."""
+    from codebased_spark.operators.presence import DENSE_SENTINEL
+
+    d = str(tmp_path / "tb")
+    os.makedirs(d)
+    _write_tb_parquet(d, [(10, [DENSE_SENTINEL]), (11, [0, 2]),
+                          (12, [DENSE_SENTINEL]), (12, [1])])
+    covered = [0, 1, 2, 3]
+    for preload in (False, True):
+        tb = TermBlocks(d, covered=covered, preload=preload)
+        got = tb.blocks_for([10, 11, 12, 99])
+        assert got[10] == frozenset(covered)
+        assert got[11] == frozenset({0, 2})
+        assert got[12] == frozenset(covered)  # any generation dense
+        assert got[99] == frozenset()
+
+
+def test_dense_terms_capped_at_build(spark, tmp_path):
+    """A full build over >= MIN_BLOCKS_FOR_DENSE blocks stores dense
+    terms as the sentinel (bounding the table at scale) while search
+    stays bit-identical to the unpruned scan."""
+    from codebased_spark.operators.presence import (
+        DENSE_SENTINEL,
+        MIN_BLOCKS_FOR_DENSE,
+    )
+    from codebased_spark.sources.corpus import gen_corpus
+
+    idx_dir = str(tmp_path / "idx")
+    n_blocks = MIN_BLOCKS_FOR_DENSE
+    index = build_index(spark, gen_corpus(spark, 12, 10, seed=7), idx_dir,
+                        num_blocks=n_blocks)
+    tb = index.term_blocks
+    assert tb is not None and len(tb.covered) == n_blocks
+    # the corpus generator's shared vocabulary makes some trigrams
+    # dense by construction — they must be stored as the sentinel
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(idx_dir, "term_blocks"))
+    stored = {int(t): [int(b) for b in bl] for t, bl in
+              zip(tbl["term"].to_pylist(), tbl["blocks"].to_pylist())}
+    dense = [t for t, bl in stored.items() if bl == [DENSE_SENTINEL]]
+    assert dense, "shared vocab must produce at least one dense term"
+    # no stored exact array may reach the dense cutoff
+    cutoff = -(-n_blocks // 2)  # ceil(0.5 * n)
+    assert all(len(bl) < cutoff for t, bl in stored.items()
+               if bl != [DENSE_SENTINEL])
+    # dense terms resolve to every covered block
+    got = tb.blocks_for(dense[:3])
+    assert all(got[t] == tb.covered for t in dense[:3])
+    # and pruned search through the dense-capped table is bit-identical
+    for query in ("hello world", "zqxjkwv"):
+        kw = dict(deletes_dir=None, top_k=10)
+        base = _rows(search_index_files(
+            spark, index.posting_files, query, index.n_docs, index.avgdl,
+            **kw))
+        pruned = _rows(search_index_files(
+            spark, index.posting_files, query, index.n_docs, index.avgdl,
+            presence=tb, **kw))
+        assert pruned == base
+
+
+def test_small_writes_stay_exact(built):
+    """Below MIN_BLOCKS_FOR_DENSE the table stores exact arrays — the
+    4-block fixture must contain no sentinel rows (a tiny delta must
+    never mark its whole term set dense)."""
+    import pyarrow.parquet as pq
+
+    from codebased_spark.operators.presence import DENSE_SENTINEL
+
+    _, idx_dir = built
+    tbl = pq.read_table(os.path.join(idx_dir, "term_blocks"))
+    assert all(DENSE_SENTINEL not in bl
+               for bl in tbl["blocks"].to_pylist())
+
+
 def test_lookup_failure_degrades_to_full_scan(built):
     index, _ = built
 
