@@ -219,6 +219,58 @@ def test_dense_terms_capped_at_build(spark, tmp_path):
         assert pruned == base
 
 
+def test_dense_cap_applies_to_large_deltas(spark, tmp_path):
+    """A commit appending >= MIN_BLOCKS_FOR_DENSE blocks judges density
+    against ITS OWN scanned blocks and writes sentinel rows for its
+    dense terms (an over-approximation against the full covered set —
+    pruning-safe); search through the mixed exact+sentinel table stays
+    correct."""
+    import pyarrow.parquet as pq
+
+    from codebased_spark.operators.presence import (
+        DENSE_SENTINEL,
+        MIN_BLOCKS_FOR_DENSE,
+    )
+    from codebased_spark.sources.corpus import gen_corpus
+    from codebased_spark.streaming.incremental import incremental_update
+
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, fixture_corpus(spark), idx_dir, num_blocks=2)
+    before = {os.path.basename(p) for p in
+              os.listdir(os.path.join(idx_dir, "term_blocks"))
+              if p.endswith(".parquet")}
+    batch = fixture_corpus(spark).unionByName(
+        gen_corpus(spark, 10, 12, seed=3).withColumn(
+            "path", F.concat(F.lit("new/"), F.col("path"))))
+    idx = incremental_update(spark, idx_dir, batch,
+                             num_blocks=MIN_BLOCKS_FOR_DENSE)
+    tb = idx.term_blocks
+    assert {pb for pb, _ in idx.posting_files} <= tb.covered
+    # the delta file (and only it) must hold sentinel rows
+    delta_sentinels = exact_sentinels = 0
+    for p in os.listdir(os.path.join(idx_dir, "term_blocks")):
+        if not p.endswith(".parquet"):
+            continue
+        bl = pq.read_table(
+            os.path.join(idx_dir, "term_blocks", p))["blocks"].to_pylist()
+        n = sum(1 for b in bl if b == [DENSE_SENTINEL])
+        if os.path.basename(p) in before:
+            exact_sentinels += n
+        else:
+            delta_sentinels += n
+    assert exact_sentinels == 0 and delta_sentinels > 0
+    # mixed-generation lookups and search stay correct
+    assert len(idx.search("hello world", 10).collect()) > 0
+    kw = dict(deletes_dir=None, top_k=10)  # add-only commit: no deletes
+    base = _rows(search_index_files(
+        spark, idx.posting_files, "hello world", idx.n_docs, idx.avgdl,
+        **kw))
+    pruned = _rows(search_index_files(
+        spark, idx.posting_files, "hello world", idx.n_docs, idx.avgdl,
+        presence=tb, **kw))
+    assert pruned == base
+
+
 def test_small_writes_stay_exact(built):
     """Below MIN_BLOCKS_FOR_DENSE the table stores exact arrays — the
     4-block fixture must contain no sentinel rows (a tiny delta must
