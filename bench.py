@@ -181,15 +181,22 @@ def main() -> None:
         tp = time.time()
         build_phrase_df(spark, index, hot)
         phrase_df_sec = round(time.time() - tp, 3)
-        index._search_cache.clear()
         q_hot: dict[str, float] = {}
         for name, q in QUERIES.items():
-            t = time.time()
-            index.search(q, 32).collect()
-            q_hot[name] = round(time.time() - t, 3)
-        tb = time.time()
-        index.search_batch(list(QUERIES.values()), 32).count()
-        batch_hot_sec = round(time.time() - tb, 3)
+            times = []
+            for _rep in range(reps):
+                index._search_cache.clear()
+                t = time.time()
+                index.search(q, 32).collect()
+                times.append(time.time() - t)
+            q_hot[name] = round(min(times), 3)
+        batch_times = []
+        for _rep in range(min(reps, 2)):
+            index._search_cache.clear()
+            tb = time.time()
+            index.search_batch(list(QUERIES.values()), 32).count()
+            batch_times.append(time.time() - tb)
+        batch_hot_sec = round(min(batch_times), 3)
         hot_lat = sorted(q_hot.values())
         extra.update({
             "queries_hot_phrase_df": q_hot,
