@@ -66,36 +66,37 @@ def with_doc_lengths(docs: DataFrame) -> DataFrame:
 def assign_doc_ids(docs: DataFrame, num_blocks: int = 32, block_offset: int = 0) -> DataFrame:
     """Deterministic, shuffle-cheap doc ids: hash-repartition on
     (repo, path), sort within partitions by the natural key, then
-    ``doc_id = (partition_id << 40) | local_index`` via mapInPandas.
+    ``doc_id = (partition_id << 40) | local_index`` — entirely JVM-side
+    via ``monotonically_increasing_id`` (r7; previously a mapInPandas
+    pass that shipped every content byte through the python workers
+    just to attach a counter).
 
-    One shuffle total; no global sort; no driver collect. Ids are sparse
-    but strictly increasing within a block — exactly what delta-encoded
-    posting lists need."""
-    import pandas as pd  # noqa: F401 (executor-side)
+    ``monotonically_increasing_id`` is exactly
+    ``(partition_id << 33) | row_index_within_partition`` evaluated in
+    pipeline order ABOVE the sort (non-deterministic expressions are
+    never reordered across a Sort by Catalyst), so unpacking it yields
+    the same (pid, local) pair the python pass produced — ids are
+    bit-identical (pinned by the determinism/parallelism tests and the
+    after-commit value oracle). Blocks are bounded at 2^33 docs by the
+    id's layout (vs 2^40 before) — far above the tokens-per-block
+    memory contract (build.py) that actually sizes blocks; a block
+    overflowing 2^33 would surface loudly as the fused build's
+    "multiple doc blocks" guard, never as silent id reuse.
 
-    cols = docs.columns
-    out_schema = ", ".join(f"`{c}` {docs.schema[c].dataType.simpleString()}" for c in cols)
-    out_schema = f"doc_id long, {out_schema}"
-
+    One shuffle total; no global sort; no driver collect; no python
+    boundary. Ids are sparse but strictly increasing within a block —
+    exactly what delta-encoded posting lists need."""
     parted = (
         docs.repartition(num_blocks, "repo", "path")
         .sortWithinPartitions("repo", "path", "byte_start", "byte_end", "kind", "name")
-        .withColumn("_pid", F.spark_partition_id())
     )
-
-    def add_ids(it):
-        local = 0
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0]) + block_offset
-            ids = (pid << DOC_ID_BLOCK_BITS) + local + pd.RangeIndex(len(pdf))
-            local += len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out.insert(0, "doc_id", ids.to_numpy())
-            yield out
-
-    return parted.mapInPandas(add_ids, out_schema)
+    mono = F.monotonically_increasing_id()
+    pid = F.shiftright(mono, 33) + F.lit(int(block_offset)).cast("long")
+    local = mono.bitwiseAND(F.lit((1 << 33) - 1).cast("long"))
+    return parted.select(
+        (F.shiftleft(pid, DOC_ID_BLOCK_BITS) + local).alias("doc_id"),
+        *docs.columns,
+    )
 
 
 def build_docs(

@@ -100,10 +100,14 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("list_id").parquet(
         out_path.rstrip("/") + "/assignments"
     )
+    # one explicit slice: a createDataFrame(local).coalesce(1) would
+    # replay defaultParallelism python partitions through ONE task
+    # (~5 s measured); a 1-slice parallelize is a single round trip
     spark.createDataFrame(
-        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))], 1),
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(out_path.rstrip("/") + "/centroids")
+    ).write.mode("overwrite").parquet(out_path.rstrip("/") + "/centroids")
     return cents
 
 
@@ -136,7 +140,10 @@ def ivf_topk(
     lists = [int(x) for x in ids[order[:nprobe]]]
 
     cand = assignments.filter(F.col("list_id").isin(lists))
-    probe_df = spark.createDataFrame([( [float(x) for x in pv],)], "probe_vec array<float>")
+    from codebased_spark.session import one_row_df
+
+    probe_df = one_row_df(
+        spark, "probe_vec array<float>", ([float(x) for x in pv],))
     return (
         cand.crossJoin(F.broadcast(probe_df))
         .select(

@@ -354,11 +354,11 @@ def _phrase_block_stats(spark, index, pts, needed, posting_files):
     subset — the one Spark job behind build/update_phrase_df. Row count
     is bounded by |phrases| x |blocks| (tiny), so no aggregation runs
     in the job; the caller sums driver-side."""
-    from codebased_spark.operators.query import _files_df
+    from codebased_spark.operators.query import _scan_df
 
     rows = (
-        _files_df(spark, posting_files)
-        .mapInPandas(
+        _scan_df(
+            spark, posting_files,
             _phrase_stats_fn(pts, needed, index._task_deletes_dir()),
             _PHRASE_STATS_SCHEMA,
         )
@@ -470,9 +470,12 @@ def _write_phrase_table(spark, index, block_rows, phrase_order) -> dict:
             fs.create_dir(real, recursive=True)
             pq.write_table(tbl, real + "/part-00000.parquet", filesystem=fs)
     else:
+        # 1-slice parallelize, not coalesce(1): the latter replays
+        # defaultParallelism python partitions through one task (~5 s)
         spark.createDataFrame(
-            table_rows, "phrase string, pblock int, df_all long, df_name long"
-        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+            spark.sparkContext.parallelize(table_rows, 1),
+            "phrase string, pblock int, df_all long, df_name long",
+        ).write.mode("overwrite").parquet(out_dir)
     index.fs.write_json(
         _join(index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"),
         {

@@ -467,10 +467,13 @@ def build_index(
         n = sum(int(r["n"]) for r in rows)
         total_dl = sum(int(r["sdl"]) for r in rows)
         avgdl = (total_dl / n) if n else 0.0
-        spark.createDataFrame(
-            [(n, avgdl, total_dl, num_blocks, FORMAT_VERSION)],
+        from codebased_spark.session import one_row_df
+
+        one_row_df(
+            spark,
             "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
-        ).coalesce(1).write.mode("overwrite").parquet(
+            (n, avgdl, total_dl, num_blocks, FORMAT_VERSION),
+        ).write.mode("overwrite").parquet(
             _join(index_dir, "corpus_stats")
         )
         _write_manifest(

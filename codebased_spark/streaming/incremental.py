@@ -212,10 +212,13 @@ def incremental_update(
             n_docs = idx.n_docs - n_dead + n_add
             total_dl = idx.total_dl - dl_dead + dl_add
             avgdl = (total_dl / n_docs) if n_docs else 0.0
-            spark.createDataFrame(
-                [(n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION)],
+            from codebased_spark.session import one_row_df
+
+            one_row_df(
+                spark,
                 "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
-            ).coalesce(1).write.mode("overwrite").parquet(
+                (n_docs, avgdl, total_dl, n_blocks, FORMAT_VERSION),
+            ).write.mode("overwrite").parquet(
                 _join(index_dir, "corpus_stats")
             )
             from codebased_spark.operators.phrasedf import incr_epoch_at

@@ -113,8 +113,9 @@ def test_direct_covered_and_tombstones(spark, tmp_path):
 
 def test_direct_truly_runs_no_spark_scan(spark, pair, monkeypatch):
     """The direct path must never touch the distributed scan: poison
-    _files_df (the mapInPandas feeder) — direct searches still answer,
-    and the same searches on the distributed handle now fail."""
+    _scan_df (the range-sourced mapInPandas feeder) and the legacy
+    _files_df — direct searches still answer, and the same searches on
+    the distributed handle now fail."""
     import codebased_spark.operators.query as q
 
     direct, dist, _ = pair
@@ -123,6 +124,7 @@ def test_direct_truly_runs_no_spark_scan(spark, pair, monkeypatch):
         raise AssertionError("distributed scan launched")
 
     monkeypatch.setattr(q, "_files_df", boom)
+    monkeypatch.setattr(q, "_scan_df", boom)
     direct._search_cache.clear()
     assert _hits(direct.search("hello world", 5)) is not None
     assert direct.search_batch(["hello world", "server started"], 5).count() >= 0
