@@ -104,13 +104,16 @@ def main() -> None:
                 .collect()
             )
         with stage("corpus_stats_write"):
+            from codebased_spark.session import one_row_df
+
             n = sum(int(r["n"]) for r in block_rows)
             total_dl = sum(int(r["sdl"]) for r in block_rows)
             avgdl = (total_dl / n) if n else 0.0
-            spark.createDataFrame(
-                [(n, avgdl, total_dl, num_blocks, FORMAT_VERSION)],
+            one_row_df(
+                spark,
                 "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
-            ).coalesce(1).write.mode("overwrite").parquet(_join(idx_dir, "corpus_stats"))
+                (n, avgdl, total_dl, num_blocks, FORMAT_VERSION),
+            ).write.mode("overwrite").parquet(_join(idx_dir, "corpus_stats"))
         _write_manifest(fs, idx_dir, "doc_stats",
                         {"stage": "doc_stats", "version": FORMAT_VERSION,
                          "num_blocks": num_blocks, "docs_per_block": {}})

@@ -160,16 +160,105 @@ def _listed_pblocks(fs, index_dir: str) -> list[int]:
     """pblock ids of the posting shards currently on disk — what a
     freshly-loaded index would scan, hence what the manifest may claim
     to cover."""
+    return sorted({pb for pb, _p in _listed_shards(fs, index_dir)})
+
+
+def _listed_shards(fs, index_dir: str) -> list[tuple[int, str]]:
+    """(pblock, path) of every posting shard file on disk."""
     from codebased_spark.plans.engine import _join
 
-    out = set()
+    out = []
     for path, _size in fs.list_files(_join(index_dir, "postings")):
         if not path.endswith(".parquet"):
             continue
         seg = [s for s in path.split("/") if s.startswith("pblock=")]
         if seg:
-            out.add(int(seg[-1].split("=", 1)[1]))
-    return sorted(out)
+            out.append((int(seg[-1].split("=", 1)[1]), path))
+    return out
+
+
+# Above this many shards the presence build keeps the Spark job (the
+# driver-side reader is a per-file loop); below it, reading the tiny
+# dictionary-encoded term column of each shard directly on the driver
+# beats the job + shuffle + single-task-write floor by ~5-10x. Env
+# SPARK_GRAFT_PRESENCE_DRIVER_MAX_SHARDS overrides for ops/benchmarks.
+def _driver_build_max_shards() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PRESENCE_DRIVER_MAX_SHARDS", "256"))
+
+
+def _use_driver_build(index_dir: str, shards) -> bool:
+    """True when the presence table should be built by the driver-side
+    pyarrow reader: LOCAL scheme-less stores under the shard-count gate
+    (any failure there falls back to the Spark job at the call sites'
+    try/except is unnecessary — the gate keeps the driver path on plain
+    POSIX reads only)."""
+    from codebased_spark.plans.fsio import is_local
+
+    return (
+        bool(shards)
+        and len(shards) <= _driver_build_max_shards()
+        and is_local(index_dir)
+        and not index_dir.startswith("file:")
+    )
+
+
+def _write_pairs_driver(
+    shards: list[tuple[int, str]], out_dir: str, mode: str,
+    n_scanned_blocks: int = 0,
+) -> None:
+    """Driver-side twin of :func:`_write_pairs` for LOCAL stores: read
+    each shard's ``term`` column through pyarrow (a thread pool — the
+    C++ reader releases the GIL), union the per-shard distinct term
+    sets, apply the dense-term cap, and write ONE term-sorted parquet
+    file with the same small row groups. Byte-compatible with what the
+    reader expects (rows (term, blocks) sorted by term; append adds a
+    new file, readers union per term)."""
+    import math
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def shard_terms(item):
+        pb, path = item
+        tbl = pq.read_table(path, columns=["term"])
+        return pb, np.unique(tbl["term"].to_numpy(zero_copy_only=False))
+
+    term_blocks: dict[int, list] = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for pb, terms in pool.map(shard_terms, sorted(shards)):
+            for t in terms.tolist():
+                term_blocks.setdefault(t, []).append(pb)
+
+    cutoff = None
+    if n_scanned_blocks >= MIN_BLOCKS_FOR_DENSE:
+        cutoff = int(math.ceil(DENSE_BLOCK_FRACTION * n_scanned_blocks))
+    terms_sorted = sorted(term_blocks)
+    blocks_out = []
+    for t in terms_sorted:
+        bl = sorted(set(term_blocks[t]))
+        if cutoff is not None and len(bl) >= cutoff:
+            bl = [DENSE_SENTINEL]
+        blocks_out.append(bl)
+    tbl = pa.table({
+        "term": pa.array(terms_sorted, pa.int64()),
+        "blocks": pa.array(blocks_out, pa.list_(pa.int32())),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    existing = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    if mode == "overwrite":
+        for f in existing:
+            os.remove(os.path.join(out_dir, f))
+        name = "part-00000.parquet"
+    else:  # append: a fresh uniquely-named file, like Spark's append
+        name = f"part-{len(existing):05d}-delta.parquet"
+    # ~4k rows/group keeps groups in the same size class as
+    # TERM_BLOCKS_ROW_GROUP_BYTES for these narrow rows
+    pq.write_table(tbl, os.path.join(out_dir, name), row_group_size=4096)
 
 
 def _write_pairs(
@@ -226,14 +315,24 @@ def build_term_blocks(spark: SparkSession, index_dir: str, fs=None) -> dict:
     if fs.exists(man):
         fs.delete(man)
     fs.delete(out_dir)
-    covered = _listed_pblocks(fs, index_dir)
-    spark.catalog.refreshByPath(_join(index_dir, "postings"))
-    postings = spark.read.schema(POSTING_SCHEMA).parquet(
-        _join(index_dir, "postings"))
-    _write_pairs(
-        spark, postings.select("term", F.col("pblock").cast("int").alias("pblock")),
-        out_dir, "overwrite", n_scanned_blocks=len(covered),
-    )
+    shards = _listed_shards(fs, index_dir)
+    covered = sorted({pb for pb, _p in shards})
+    if _use_driver_build(index_dir, shards):
+        from codebased_spark.plans.fsio import local_path
+
+        _write_pairs_driver(
+            [(pb, local_path(p)) for pb, p in shards],
+            local_path(out_dir), "overwrite", n_scanned_blocks=len(covered),
+        )
+    else:
+        spark.catalog.refreshByPath(_join(index_dir, "postings"))
+        postings = spark.read.schema(POSTING_SCHEMA).parquet(
+            _join(index_dir, "postings"))
+        _write_pairs(
+            spark,
+            postings.select("term", F.col("pblock").cast("int").alias("pblock")),
+            out_dir, "overwrite", n_scanned_blocks=len(covered),
+        )
     payload = {
         "stage": TERM_BLOCKS_MANIFEST,
         "version": FORMAT_VERSION,
@@ -274,19 +373,30 @@ def update_term_blocks(
     except Exception:
         return None
     already = {int(b) for b in man.get("covered_pblocks", [])}
-    new_pbs = [b for b in _listed_pblocks(fs, index_dir) if b not in already]
+    shards = _listed_shards(fs, index_dir)
+    new_shards = [(pb, p) for pb, p in shards if pb not in already]
+    new_pbs = sorted({pb for pb, _p in new_shards})
     if not new_pbs:
         return man
-    spark.catalog.refreshByPath(_join(index_dir, "postings"))
-    postings = spark.read.schema(POSTING_SCHEMA).parquet(
-        _join(index_dir, "postings"))
-    _write_pairs(
-        spark,
-        postings.filter(F.col("pblock").isin([int(b) for b in new_pbs]))
-        .select("term", F.col("pblock").cast("int").alias("pblock")),
-        _join(index_dir, TERM_BLOCKS_DIR), "append",
-        n_scanned_blocks=len(new_pbs),
-    )
+    if _use_driver_build(index_dir, new_shards):
+        from codebased_spark.plans.fsio import local_path
+
+        _write_pairs_driver(
+            [(pb, local_path(p)) for pb, p in new_shards],
+            local_path(_join(index_dir, TERM_BLOCKS_DIR)), "append",
+            n_scanned_blocks=len(new_pbs),
+        )
+    else:
+        spark.catalog.refreshByPath(_join(index_dir, "postings"))
+        postings = spark.read.schema(POSTING_SCHEMA).parquet(
+            _join(index_dir, "postings"))
+        _write_pairs(
+            spark,
+            postings.filter(F.col("pblock").isin([int(b) for b in new_pbs]))
+            .select("term", F.col("pblock").cast("int").alias("pblock")),
+            _join(index_dir, TERM_BLOCKS_DIR), "append",
+            n_scanned_blocks=len(new_pbs),
+        )
     covered = sorted(already | set(new_pbs))
     payload = {
         "stage": TERM_BLOCKS_MANIFEST,

@@ -450,54 +450,83 @@ def build_index(
             )
         return block_rows
 
-    if not (resume and _stage_done(fs, index_dir, "doc_stats")):
-        d = get_docs()
-        d.drop("content").write.mode("overwrite").parquet(
-            _join(index_dir, "doc_stats")
-        )
-        _write_manifest(
-            fs, index_dir, "doc_stats",
-            {"stage": "doc_stats", "version": FORMAT_VERSION,
-             "num_blocks": num_blocks,
-             "docs_per_block": {str(r["pblock"]): int(r["n"]) for r in get_block_rows()}},
-        )
+    def _stats_stages():
+        """doc_stats write + manifest, corpus_stats write + manifest —
+        everything that consumes the persisted docs EXCEPT the posting
+        build. Runs in a background thread OVERLAPPED with the posting
+        write (guide §2.6: actions are only sequential because the
+        driver calls them sequentially): the posting build is the long
+        pole and these small jobs back-fill its idle capacity instead
+        of extending the critical path. Job descriptions are
+        thread-local, so the UI stays labeled; exceptions re-raise on
+        join. Each stage keeps its own manifest, so a crash anywhere
+        resumes exactly as before."""
+        if not (resume and _stage_done(fs, index_dir, "doc_stats")):
+            d = get_docs()
+            d.drop("content").write.mode("overwrite").parquet(
+                _join(index_dir, "doc_stats")
+            )
+            _write_manifest(
+                fs, index_dir, "doc_stats",
+                {"stage": "doc_stats", "version": FORMAT_VERSION,
+                 "num_blocks": num_blocks,
+                 "docs_per_block": {str(r["pblock"]): int(r["n"])
+                                    for r in get_block_rows()}},
+            )
 
-    if not (resume and _stage_done(fs, index_dir, "corpus_stats")):
-        rows = get_block_rows()
-        n = sum(int(r["n"]) for r in rows)
-        total_dl = sum(int(r["sdl"]) for r in rows)
-        avgdl = (total_dl / n) if n else 0.0
-        from codebased_spark.session import one_row_df
+        if not (resume and _stage_done(fs, index_dir, "corpus_stats")):
+            rows = get_block_rows()
+            n = sum(int(r["n"]) for r in rows)
+            total_dl = sum(int(r["sdl"]) for r in rows)
+            avgdl = (total_dl / n) if n else 0.0
+            from codebased_spark.session import one_row_df
 
-        one_row_df(
-            spark,
-            "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
-            (n, avgdl, total_dl, num_blocks, FORMAT_VERSION),
-        ).write.mode("overwrite").parquet(
-            _join(index_dir, "corpus_stats")
-        )
-        _write_manifest(
-            fs, index_dir, "corpus_stats",
-            {"stage": "corpus_stats", "n_docs": n, "avgdl": avgdl,
-             "version": FORMAT_VERSION},
-        )
+            one_row_df(
+                spark,
+                "n_docs long, avgdl double, total_dl long, num_blocks int, version int",
+                (n, avgdl, total_dl, num_blocks, FORMAT_VERSION),
+            ).write.mode("overwrite").parquet(
+                _join(index_dir, "corpus_stats")
+            )
+            _write_manifest(
+                fs, index_dir, "corpus_stats",
+                {"stage": "corpus_stats", "n_docs": n, "avgdl": avgdl,
+                 "version": FORMAT_VERSION},
+            )
 
-    if not (resume and _stage_done(fs, index_dir, "postings")):
-        d = get_docs()
-        # small row groups + rows sorted by term => a query's pyarrow
-        # term-filter scan prunes to the few row groups whose [min,max]
-        # term range overlaps, instead of decoding every blob column in
-        # the shard (measured ~10x less read work per query)
-        build_postings_fused(d).write.mode("overwrite").option(
-            "parquet.block.size", str(POSTING_ROW_GROUP_BYTES)
-        ).partitionBy("pblock").parquet(
-            _join(index_dir, "postings")
-        )
-        _write_manifest(
-            fs, index_dir, "postings",
-            {"stage": "postings", "version": FORMAT_VERSION,
-             "per_block": _postings_footer_metrics(fs, _join(index_dir, "postings"))},
-        )
+    import threading as _threading
+
+    stats_err: list[BaseException] = []
+
+    def _stats_body():
+        try:
+            _stats_stages()
+        except BaseException as e:  # re-raised on join
+            stats_err.append(e)
+
+    stats_thread = _threading.Thread(target=_stats_body, name="build-stats")
+    stats_thread.start()
+    try:
+        if not (resume and _stage_done(fs, index_dir, "postings")):
+            d = get_docs()
+            # small row groups + rows sorted by term => a query's pyarrow
+            # term-filter scan prunes to the few row groups whose [min,max]
+            # term range overlaps, instead of decoding every blob column in
+            # the shard (measured ~10x less read work per query)
+            build_postings_fused(d).write.mode("overwrite").option(
+                "parquet.block.size", str(POSTING_ROW_GROUP_BYTES)
+            ).partitionBy("pblock").parquet(
+                _join(index_dir, "postings")
+            )
+            _write_manifest(
+                fs, index_dir, "postings",
+                {"stage": "postings", "version": FORMAT_VERSION,
+                 "per_block": _postings_footer_metrics(fs, _join(index_dir, "postings"))},
+            )
+    finally:
+        stats_thread.join()
+    if stats_err:
+        raise stats_err[0]
 
     if not (resume and _stage_done(fs, index_dir, "term_blocks")):
         # term->block presence manifest (operators/presence.py): a

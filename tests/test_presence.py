@@ -418,3 +418,44 @@ def test_crashed_update_self_heals_on_next_commit(spark, tmp_path, monkeypatch):
     assert len(idx.search("zulu", 10).collect()) == 1
     assert len(idx.search("quebec", 10).collect()) == 1
     assert len(idx.search("common", 10).collect()) == 3
+
+
+def test_driver_and_spark_builds_agree(spark, tmp_path, monkeypatch):
+    """The r7 driver-side pyarrow presence build (local stores under
+    the shard gate) must produce the same reader-visible table as the
+    Spark-job path: same term set, same block sets, same dense
+    sentinels — full build AND delta append."""
+    import codebased_spark.operators.presence as presence_mod
+    from codebased_spark.operators.presence import (
+        build_term_blocks,
+        load_term_blocks,
+    )
+    from codebased_spark.streaming.incremental import incremental_update
+
+    rows = [("r", f"f{i}.py", "c" * 40, "python",
+             f"alpha{i % 3} shared common words here {i}")
+            for i in range(30)]
+    batch2 = rows + [("r", "new.py", "d" * 40, "python", "zebra shared")]
+
+    def snapshot(idx_dir):
+        idx = FtsIndex(spark, idx_dir)
+        tb = load_term_blocks(idx)
+        assert tb is not None
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(idx_dir, "term_blocks"))
+        terms = sorted(set(tbl["term"].to_pylist()))
+        return {int(t): sorted(tb.blocks_for([t])[int(t)]) for t in terms}
+
+    out = {}
+    for label, gate in (("driver", "256"), ("spark", "0")):
+        monkeypatch.setenv("SPARK_GRAFT_PRESENCE_DRIVER_MAX_SHARDS", gate)
+        idx_dir = str(tmp_path / f"idx_{label}")
+        build_index(spark, spark.createDataFrame(rows, CORPUS_SCHEMA),
+                    idx_dir, num_blocks=4)
+        full = snapshot(idx_dir)
+        incremental_update(
+            spark, idx_dir, spark.createDataFrame(batch2, CORPUS_SCHEMA))
+        out[label] = (full, snapshot(idx_dir))
+    assert out["driver"][0] == out["spark"][0], "full build diverged"
+    assert out["driver"][1] == out["spark"][1], "delta append diverged"
