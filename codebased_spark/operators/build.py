@@ -256,32 +256,127 @@ def _fused_batches(it):
     terms, keys, poss = terms[order], keys[order], poss[order]
     del order
 
-    pblock = base_doc >> DOC_ID_BLOCK_BITS
+    pblock = int(base_doc >> DOC_ID_BLOCK_BITS)
     dl_arr = np.zeros(max(doc_dl) + 1, dtype=np.int64)
     for loc, dl in doc_dl.items():
         dl_arr[loc] = dl
-    change = np.flatnonzero((np.diff(terms) != 0) | (np.diff(keys >> DOC_ID_BLOCK_BITS) != 0)) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [terms.size]))
+
+    # ---- whole-partition vectorized encode (r7) ----------------------
+    # _encode_row per (term, col) group spent ~70% of the build's task
+    # compute in per-call numpy overhead on tiny arrays (measured:
+    # 11.5k encode_varint calls x 33 us for a 625-doc block). Varint
+    # bytes are per-value independent and every delta chain's resets
+    # are at known indices, so each STREAM is encoded exactly once
+    # over the whole partition and rows become byte slices — output is
+    # byte-identical to the per-row encoder (pinned by the fused ==
+    # two-stage identity test and the codec property tests).
+    from codebased_spark.functions.codec import (
+        SKIP_EVERY,
+        _varint_sizes,
+        encode_varint,
+    )
+
+    N = terms.size
+    mask = (1 << DOC_ID_BLOCK_BITS) - 1
+
+    # doc-level groups: one per (term, col, doc)
+    new_doc = np.empty(N, dtype=bool)
+    new_doc[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=new_doc[1:])
+    new_doc[1:] |= keys[1:] != keys[:-1]
+    dg_starts = np.flatnonzero(new_doc)
+    G = dg_starts.size
+    dg_starts_ext = np.append(dg_starts, N)
+    tfs_all = np.diff(dg_starts_ext)
+    dg_terms = terms[dg_starts]
+    dg_keys = keys[dg_starts]
+    cols_all = dg_keys >> DOC_ID_BLOCK_BITS
+    locals_all = dg_keys & mask
+    docs_all = locals_all + base_doc
+    dls_all = dl_arr[locals_all]
+
+    # posting rows: one per (term, col)
+    new_row = np.empty(G, dtype=bool)
+    new_row[0] = True
+    new_row[1:] = (dg_terms[1:] != dg_terms[:-1]) | (cols_all[1:] != cols_all[:-1])
+    row_starts = np.flatnonzero(new_row)
+    R = row_starts.size
+    row_ends = np.append(row_starts[1:], G)
+    row_lens = row_ends - row_starts
+
+    # chunk grid: every SKIP_EVERY docs within a row restarts the doc
+    # delta chain (chunks tile [0, G) because each row's last chunk
+    # ends exactly where the next row starts)
+    n_chunks = (row_lens + SKIP_EVERY - 1) // SKIP_EVERY
+    ck_cum = np.concatenate(([0], np.cumsum(n_chunks)))
+    total_chunks = int(ck_cum[-1])
+    ci = np.arange(total_chunks) - np.repeat(ck_cum[:-1], n_chunks)
+    chunk_starts = np.repeat(row_starts, n_chunks) + ci * SKIP_EVERY
+    chunk_ends = np.minimum(chunk_starts + SKIP_EVERY,
+                            np.repeat(row_ends, n_chunks))
+
+    # doc deltas with an absolute reset at every chunk start
+    deltas = np.empty(G, dtype=np.int64)
+    deltas[0] = docs_all[0]
+    np.subtract(docs_all[1:], docs_all[:-1], out=deltas[1:])
+    deltas[chunk_starts] = docs_all[chunk_starts]
+
+    # position deltas with an absolute reset at every doc start
+    pd_ = poss.astype(np.int64)
+    if N > 1:
+        tail = pd_[1:] - pd_[:-1]
+        pd_flat = np.empty(N, dtype=np.int64)
+        pd_flat[0] = pd_[0]
+        pd_flat[1:] = tail
+        pd_flat[dg_starts] = pd_[dg_starts]
+    else:
+        pd_flat = pd_
+
+    doc_b_all = encode_varint(deltas)
+    tf_b_all = encode_varint(tfs_all)
+    dl_b_all = encode_varint(dls_all)
+    pos_b_all = encode_varint(pd_flat)
+    doc_cum = np.concatenate(([0], np.cumsum(_varint_sizes(deltas))))
+    tf_cum = np.concatenate(([0], np.cumsum(_varint_sizes(tfs_all))))
+    dl_cum = np.concatenate(([0], np.cumsum(_varint_sizes(dls_all))))
+    pos_cum = np.concatenate(([0], np.cumsum(_varint_sizes(pd_flat))))
+
+    # per-chunk skip metadata + in-row byte offsets
+    skip_last_all = docs_all[chunk_ends - 1]
+    skip_maxtf_all = np.maximum.reduceat(tfs_all, chunk_starts)
+    skip_mindl_all = np.minimum.reduceat(dls_all, chunk_starts)
+    rs_per_chunk = np.repeat(row_starts, n_chunks)
+    d_off_all = doc_cum[chunk_starts] - doc_cum[rs_per_chunk]
+    t_off_all = tf_cum[chunk_starts] - tf_cum[rs_per_chunk]
+    l_off_all = dl_cum[chunk_starts] - dl_cum[rs_per_chunk]
+    tok_of = dg_starts_ext  # doc-group index -> first token index
+    p_off_all = pos_cum[tok_of[chunk_starts]] - pos_cum[tok_of[rs_per_chunk]]
 
     out_cols = ["pblock", "term", "col", "df",
                 "doc_bytes", "tf_bytes", "pos_bytes", "dl_bytes",
                 "skip_last", "skip_max_tf", "skip_min_dl",
                 "skip_doc_off", "skip_tf_off", "skip_pos_off", "skip_dl_off"]
+    row_terms = dg_terms[row_starts]
+    row_cols = cols_all[row_starts]
     rows = []
-    for s, e in zip(starts, ends):
-        k = keys[s:e]
-        dchange = np.flatnonzero(np.diff(k) != 0) + 1
-        dstarts = np.concatenate(([0], dchange))
-        locals_ = k[dstarts] & ((1 << DOC_ID_BLOCK_BITS) - 1)
-        doc_ids = locals_ + base_doc
-        tfs = np.diff(np.concatenate((dstarts, [k.size])))
-        rows.append(
-            _encode_row(
-                pblock, terms[s], int(keys[s]) >> DOC_ID_BLOCK_BITS,
-                doc_ids, tfs, poss[s:e], dl_arr[locals_],
-            )
-        )
+    for r in range(R):
+        s, e = int(row_starts[r]), int(row_ends[r])
+        cs, ce = int(ck_cum[r]), int(ck_cum[r + 1])
+        ts_, te_ = int(tok_of[s]), int(tok_of[e])
+        rows.append((
+            pblock, int(row_terms[r]), int(row_cols[r]), int(row_lens[r]),
+            doc_b_all[doc_cum[s]:doc_cum[e]],
+            tf_b_all[tf_cum[s]:tf_cum[e]],
+            pos_b_all[pos_cum[ts_]:pos_cum[te_]],
+            dl_b_all[dl_cum[s]:dl_cum[e]],
+            skip_last_all[cs:ce].tolist(),
+            skip_maxtf_all[cs:ce].tolist(),
+            skip_mindl_all[cs:ce].tolist(),
+            d_off_all[cs:ce].tolist(),
+            t_off_all[cs:ce].tolist(),
+            p_off_all[cs:ce].tolist(),
+            l_off_all[cs:ce].tolist(),
+        ))
         if len(rows) >= 20000:
             yield pd.DataFrame(rows, columns=out_cols)
             rows = []
