@@ -561,7 +561,8 @@ def build_phrase_df(spark: SparkSession, index, phrases: list[str]) -> dict:
 
 
 def update_phrase_df(spark: SparkSession, index,
-                     dirty_pblocks) -> "dict | None":
+                     dirty_pblocks,
+                     prior_fingerprint: "tuple | None" = None) -> "dict | None":
     """Delta rebuild after a commit: recompute per-block stats ONLY for
     ``dirty_pblocks`` (blocks that gained tombstones or were appended)
     and splice them into the stored per-block table — clean blocks'
@@ -574,11 +575,34 @@ def update_phrase_df(spark: SparkSession, index,
     This is O(changed blocks) instead of O(all blocks) — the shape a
     debounced micro-batch loop needs: a 10-file batch touches 1-2
     blocks of a 10k-block index, so the rebuild no longer rescans
-    every shard (VERDICT r05 "What's missing" #3)."""
-    from codebased_spark.plans.engine import _join
+    every shard (VERDICT r05 "What's missing" #3).
+
+    ``prior_fingerprint`` = (n_docs, total_dl, epoch) of the PRE-commit
+    index the dirty set was derived from (ADVICE r06): when given, the
+    stored table's manifest must match it or the splice refuses
+    (returns None -> full rebuild) — a stale table from some other
+    generation would otherwise be silently stamped fresh, and df=0
+    rows can make covered queries wrongly empty. Callers without the
+    pre-commit state (none in-tree) keep the old trust-the-caller
+    behavior by passing None."""
+    from codebased_spark.plans.engine import FORMAT_VERSION, _join
 
     if not index.posting_files:
         return None
+    if prior_fingerprint is not None:
+        try:
+            man = index.fs.read_json(_join(
+                index.index_dir, "_manifest", f"{PHRASE_DF_MANIFEST}.json"))
+            pn, pdl, pep = prior_fingerprint
+            if (
+                int(man.get("version", -1)) != FORMAT_VERSION
+                or int(man.get("n_docs", -1)) != int(pn)
+                or int(man.get("total_dl", -1)) != int(pdl)
+                or int(man.get("epoch", -1)) != int(pep)
+            ):
+                return None
+        except Exception:
+            return None
     try:
         old = _read_phrase_rows(spark, index)
         if old is None:

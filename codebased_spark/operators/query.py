@@ -1019,10 +1019,12 @@ def _posting_file_meta(path: str, fs_cache: dict):
         return hit
     md = pq.ParquetFile(path).metadata
     ci = None
-    for i in range(md.num_columns):
-        if md.row_group(0).column(i).path_in_schema == "term":
-            ci = i
-            break
+    if md.num_row_groups:  # zero-row-group shards prune everything
+        rg0 = md.row_group(0)
+        for i in range(md.num_columns):
+            if rg0.column(i).path_in_schema == "term":
+                ci = i
+                break
     out = (md, ci)
     with _PF_META_LOCK:
         if len(_PF_META_CACHE) > 65536:  # unbounded-growth backstop
@@ -1068,11 +1070,12 @@ def _read_postings_term_filtered(path: str, fs_cache: dict, needed):
         if i < len(needed) and needed[i] <= int(st.max):
             rgs.append(rg)
     if not rgs:
-        empty = pa.schema(
-            [(c, pa.int64()) for c in ("term", "col", "df")])
-        # schema only needs num_rows == 0 downstream; callers skip
-        # empty tables before touching columns
-        return pa.Table.from_pylist([], schema=empty)
+        # schema-identical empty table (ADVICE r06): build it from the
+        # file's real schema so a future caller touching columns on
+        # the all-pruned result sees the same types the non-empty
+        # path returns
+        pf = pq.ParquetFile(path, metadata=md)
+        return pf.schema_arrow.empty_table().select(_POSTING_READ_COLUMNS)
     pf = pq.ParquetFile(path, metadata=md)  # skip the re-parse
     tbl = pf.read_row_groups(rgs, columns=_POSTING_READ_COLUMNS)
     import pyarrow.compute as pc

@@ -74,6 +74,14 @@ def incremental_update(
     idx = FtsIndex(spark, index_dir, force_jvm=force_jvm,
                    force_generic_scan=force_generic_scan)
     prior_phrases = list(idx.phrase_dfs) if rebuild_phrase_df else []
+    # the PRE-commit fingerprint the dirty set is derived from: the
+    # delta splice refuses a stored table from any other generation
+    # (ADVICE r06 — see update_phrase_df)
+    prior_fp = None
+    if rebuild_phrase_df:
+        from codebased_spark.operators.phrasedf import _incr_epoch
+
+        prior_fp = (idx.n_docs, idx.total_dl, _incr_epoch(idx))
     all_stored = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
     # the sha gate and the delete sweep must see LIVE docs only: stale
     # doc_stats rows (already tombstoned) would otherwise both mask real
@@ -258,7 +266,8 @@ def incremental_update(
         # per-block table survives to splice into
         dirty = set(dead_pblocks) | {
             pb for pb, _ in out.posting_files if pb >= offset}
-        if update_phrase_df(spark, out, dirty) is None:
+        if update_phrase_df(spark, out, dirty,
+                            prior_fingerprint=prior_fp) is None:
             build_phrase_df(spark, out, prior_phrases)
     return out
 
