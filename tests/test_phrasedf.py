@@ -579,3 +579,33 @@ def test_delta_phrase_rebuild_matches_scratch(spark, tmp_path):
     rec["epoch"] = rec.get("epoch", 0) + 7
     _json.dump(rec, open(man, "w"))
     assert FtsIndex(spark, idx_dir).phrase_dfs == {}
+
+
+def test_partial_counts_match_expression_expansion(spark):
+    """The r7 task-side n-gram counter (_ngram_partial_counts) must
+    reproduce the Catalyst split/transform/explode expansion's counts
+    exactly — including empty tokens from leading/trailing/repeated
+    whitespace, null/empty docs, and every ASCII whitespace class
+    member — for text and digest keys alike."""
+    from pyspark.sql import functions as F
+
+    from codebased_spark.operators.phrasedf import (
+        _corpus_ngrams,
+        top_ngrams_df,
+    )
+
+    rows = [("",), (None,), ("  leading and   multiple   spaces  ",),
+            ("tab\tsep\nnewline\x0bvtab\fff\rcr end",),
+            ("aa b c dd",), ("hello world hello world hello",),
+            ("x " * 50,), ("trailing space ",), ("UPPER Case MiX",)]
+    df = spark.createDataFrame(rows, "text string")
+    ref = (
+        _corpus_ngrams(df, "text", (1, 2))
+        .groupBy("phrase").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase")).limit(64).collect()
+    )
+    for key in ("text", "digest"):
+        got = top_ngrams_df(df, 64, "text", key, (1, 2)).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in ref], key
+    out = top_ngrams_df(df, 64, "text", "digest", (1, 2))
+    assert not out.schema["n"].nullable  # count(1)-compatible schema
