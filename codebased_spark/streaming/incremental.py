@@ -54,6 +54,7 @@ def incremental_update(
     force_jvm: bool = False,
     force_generic_scan: bool = False,
     rebuild_phrase_df: bool = False,
+    stage_timings: "dict | None" = None,
 ) -> FtsIndex:
     """Apply a corpus batch to an existing index. Returns the reloaded
     index. ``full_snapshot=True`` additionally tombstones every stored
@@ -70,7 +71,22 @@ def incremental_update(
     rebuild runs strictly AFTER the commit manifest lands — a crash
     during it leaves a committed index with no side table, which
     queries handle (uncovered path), never a stale-df table (the
-    fingerprint check is the backstop either way)."""
+    fingerprint check is the backstop either way).
+
+    ``stage_timings`` (optional dict) is filled with per-stage
+    wall-clock seconds — the commit-cost breakdown the incremental
+    bench reports (VERDICT r06 #2); it never changes behavior."""
+    import time as _time
+
+    _tm = stage_timings if stage_timings is not None else {}
+    _t0 = _time.time()
+
+    def _mark(name):
+        nonlocal _t0
+        now = _time.time()
+        _tm[name] = round(_tm.get(name, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     idx = FtsIndex(spark, index_dir, force_jvm=force_jvm,
                    force_generic_scan=force_generic_scan)
     prior_phrases = list(idx.phrase_dfs) if rebuild_phrase_df else []
@@ -82,6 +98,7 @@ def incremental_update(
         from codebased_spark.operators.phrasedf import _incr_epoch
 
         prior_fp = (idx.n_docs, idx.total_dl, _incr_epoch(idx))
+    _mark("load_index")
     all_stored = idx.doc_stats.select("doc_id", "repo", "path", "sha256", "dl")
     # the sha gate and the delete sweep must see LIVE docs only: stale
     # doc_stats rows (already tombstoned) would otherwise both mask real
@@ -112,7 +129,9 @@ def incremental_update(
         # stats rewrite, manifest, and reload outright. One limit-1
         # probe decides it; full_snapshot commits never short-circuit
         # (the sweep may still tombstone disappeared paths).
-        if not full_snapshot and changed.isEmpty():
+        noop = not full_snapshot and changed.isEmpty()
+        _mark("sha_gate_probe")
+        if noop:
             return idx
 
         # S11: docs superseded by a changed file, plus (full snapshot
@@ -133,6 +152,7 @@ def incremental_update(
         # against the half-updated table. localCheckpoint materializes
         # and truncates the dependency.
         dead = dead.localCheckpoint(eager=True)
+        _mark("dead_checkpoint")
 
         # One fused job for the tombstone stats AND the block offset
         # (crossJoin of two single-row aggs — two stages, one job,
@@ -153,6 +173,7 @@ def incremental_update(
         n_dead, dl_dead = int(fused["n"]), int(fused["sdl"])
         max_pb = fused["mpb"]
         offset = int(max_pb) + 1 if max_pb is not None else 0
+        _mark("tombstone_stats_and_offset")
 
         # blocks whose tombstone set this commit changes — the dirty
         # set for the phrase-df delta rebuild (cheap: dead is already
@@ -164,6 +185,7 @@ def incremental_update(
                     F.shiftright("doc_id", DOC_ID_BLOCK_BITS)
                     .cast("int").alias("pb")).distinct().collect()
             ]
+        _mark("dead_pblocks_list")
         new_docs = build_docs(
             changed, num_blocks=n_blocks, chunk=chunk, block_offset=offset
         ).localCheckpoint(eager=True)
@@ -172,14 +194,17 @@ def incremental_update(
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl")
         ).collect()[0]
         n_add, dl_add = int(add_agg["n"]), int(add_agg["sdl"])
+        _mark("new_docs_checkpoint_and_agg")
 
         if n_add:
             new_docs.drop("content").write.mode("append").parquet(
                 _join(index_dir, "doc_stats")
             )
+            _mark("doc_stats_append")
             build_postings_fused(new_docs).write.mode("append").option(
                 "parquet.block.size", str(POSTING_ROW_GROUP_BYTES)
             ).partitionBy("pblock").parquet(_join(index_dir, "postings"))
+            _mark("postings_append")
         if n_dead:
             # partitioned by pblock so query tasks read only their own
             # block's tombstones (no driver materialization anywhere)
@@ -189,6 +214,7 @@ def incremental_update(
             ).write.mode("append").partitionBy("pblock").parquet(
                 _join(index_dir, "deletes")
             )
+            _mark("deletes_append")
 
         if (n_add or n_dead) and not rebuild_phrase_df:
             # the phrase-df side table's dfs are exact only for the
@@ -229,6 +255,7 @@ def incremental_update(
             ).write.mode("overwrite").parquet(
                 _join(index_dir, "corpus_stats")
             )
+            _mark("corpus_stats_write")
             from codebased_spark.operators.phrasedf import incr_epoch_at
 
             epoch = incr_epoch_at(idx.fs, index_dir)
@@ -240,6 +267,7 @@ def incremental_update(
                  "per_block": _postings_footer_metrics(
                      idx.fs, _join(index_dir, "postings"))},
             )
+            _mark("incr_manifest_footer_metrics")
         if n_add:
             # delta-extend the term->block presence manifest with just
             # the NEW blocks' term sets (partition-pruned scan of the
@@ -251,10 +279,13 @@ def incremental_update(
             from codebased_spark.operators.presence import update_term_blocks
 
             update_term_blocks(spark, index_dir, idx.fs)
+            _mark("presence_delta")
     finally:
         new_files.unpersist()
+    _t0 = _time.time()
     out = FtsIndex(spark, index_dir, force_jvm=force_jvm,
                    force_generic_scan=force_generic_scan)
+    _mark("reload_index")
     if prior_phrases and (n_add or n_dead):
         from codebased_spark.operators.phrasedf import (
             build_phrase_df,
@@ -269,6 +300,7 @@ def incremental_update(
         if update_phrase_df(spark, out, dirty,
                             prior_fingerprint=prior_fp) is None:
             build_phrase_df(spark, out, prior_phrases)
+        _mark("phrase_df_delta")
     return out
 
 

@@ -87,17 +87,21 @@ def main() -> None:
     ).localCheckpoint(eager=True)
     n_changed = changed.count()
 
+    breakdown: dict = {}
     t0 = time.time()
     index2 = incremental_update(
-        spark, idx_dir, changed, rebuild_phrase_df=True)
+        spark, idx_dir, changed, rebuild_phrase_df=True,
+        stage_timings=breakdown)
     commit_sec = round(time.time() - t0, 3)
     assert index2.phrase_dfs, "phrase-df table must survive the commit"
     assert index2.n_docs == index.n_docs, "upsert must not change doc count"
 
     # the same batch again: every sha matches, the gate passes nothing
+    noop_breakdown: dict = {}
     t0 = time.time()
     index3 = incremental_update(
-        spark, idx_dir, changed, rebuild_phrase_df=True)
+        spark, idx_dir, changed, rebuild_phrase_df=True,
+        stage_timings=noop_breakdown)
     noop_sec = round(time.time() - t0, 3)
 
     # the POST-COMMIT FIRST query, before any warmup — the reload
@@ -124,8 +128,10 @@ def main() -> None:
         "changed_files": int(n_changed),
         "change_pct": change_pct,
         "commit_sec": commit_sec,
+        "commit_breakdown": breakdown,
         "commit_files_per_sec": round(n_changed / commit_sec, 1),
         "noop_commit_sec": noop_sec,
+        "noop_breakdown": noop_breakdown,
         "post_commit_first_query_sec": q_cold_first_sec,
         "tombstone_ratio": round(tombstone_ratio(index3), 4),
         "phrase_df_rebuilt": bool(index2.phrase_dfs),
