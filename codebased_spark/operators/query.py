@@ -920,6 +920,70 @@ def _candidates_from_rows(rows: dict, phrase_term_ids, deleted,
     return pd.concat(frames, ignore_index=True)
 
 
+def _task_emission_prune(doc_frames, n_ph, top_k, avgdl, known_idfs):
+    """Cross-BLOCK second application of the per-block exact emission
+    prune (r7 — the block-count scaling fix): a task scanning many
+    blocks concatenates their doc frames and keeps only docs that
+    could still reach the global branch top-k, so candidate rows per
+    query become O(tasks * top_k) instead of O(blocks * top_k)
+    (measured: 34k -> 12k rows for the 6-query batch at 160 blocks,
+    and independent of block count from here up).
+
+    Exactness is the SAME argument as the per-block prune, applied to
+    a bigger doc set (the proofs in _query_block_frames /
+    _pareto_survivors / _covered_block_frame never use the fact that
+    competitors share a block — only that they flow to the driver):
+    - known idfs: exact branch ranks; union of branch top-ks.
+    - single phrase: both final branches order by (positive idf) x
+      norm(tf, dl), so a doc outside the task's branch top-k by norm
+      is beaten by >= top_k retained task-mates under every idf.
+    - multi phrase: Pareto k-skyband over the task's docs.
+    df stats (kind=0 rows) are emitted per block BEFORE this prune,
+    exactly as before — idf stays exact. Ties break on doc_id through
+    the same lexsort keys as _finish_rows, so retained sets agree
+    with the driver's final ranking bit-for-bit.
+
+    ``doc_frames``: [(docs, dl, [tf rows], [tf rows])] per block;
+    returns the concatenated-and-pruned (docs, dl, ta, tn) with
+    ta/tn as (n, n_ph) matrices."""
+    common = np.concatenate([f[0] for f in doc_frames])
+    dl = np.concatenate([f[1] for f in doc_frames])
+    ta = np.vstack([np.vstack(f[2]) for f in doc_frames])
+    tn = np.vstack([np.vstack(f[3]) for f in doc_frames])
+    if common.size <= 2 * top_k:
+        return common, dl, ta, tn
+    keep = np.zeros(common.size, dtype=bool)
+    named = np.flatnonzero((tn > 0).all(axis=1))
+    if known_idfs is not None:
+        idf_all, idf_name = known_idfs
+        ra = _rank_rows(ta, dl, idf_all, avgdl)
+        keep[np.lexsort((common, ra))[:top_k]] = True
+        if named.size:
+            rn = _rank_rows(tn[named], dl[named], idf_name, avgdl)
+            keep[named[np.lexsort((common[named], rn))[:top_k]]] = True
+    elif n_ph == 1:
+        na = _norm_np(ta[:, 0], dl, avgdl)
+        keep[np.lexsort((common, -na))[:top_k]] = True
+        if named.size:
+            nn = _norm_np(tn[named, 0], dl[named], avgdl)
+            keep[named[np.lexsort((common[named], -nn))[:top_k]]] = True
+    else:
+        keep |= _pareto_survivors(ta, dl, common, avgdl, top_k)
+        if named.size:
+            sub = _pareto_survivors(
+                tn[named], dl[named], common[named], avgdl, top_k)
+            keep[named[sub]] = True
+    return common[keep], dl[keep], ta[keep], tn[keep]
+
+
+def _doc_frame_pdf(docs, dl, ta, tn, qid=None) -> pd.DataFrame:
+    cols = {"kind": 1, "phrase": -1, "df_all": 0, "df_name": 0,
+            "doc_id": docs, "dl": dl, "tfs_all": list(ta), "tfs_name": list(tn)}
+    if qid is not None:
+        cols = {"qid": qid, **cols}
+    return pd.DataFrame(cols)
+
+
 def _candidates_fn(phrase_term_ids: list[list[int]], deleted: "np.ndarray | None" = None,
                    top_k=None, avgdl=None):
     """applyInPandas wrapper over :func:`_block_candidates_pdf` with a
@@ -1134,10 +1198,13 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
     cols = ["qid", "kind", "phrase", "df_all", "df_name", "doc_id", "dl",
             "tfs_all", "tfs_name"]
     known_idfs_by_qid = known_idfs_by_qid or {}
+    n_ph_by_qid = {qid: len(tids) for qid, tids in queries_terms}
 
     def fn(it):
         tomb_cache: dict = {}
         fs_cache: dict = {}
+        stat_sums: dict = {}  # (qid, phrase) -> [df_all, df_name]
+        frames_by_qid: dict[int, list] = {}
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
                 tbl = _read_postings_term_filtered(path, fs_cache, needed)
@@ -1148,7 +1215,6 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
                 )
                 rows = _rows_from_table(tbl)
                 cache: dict = {}
-                frames = []
                 for qid, term_ids in queries_terms:
                     covered = known_idfs_by_qid.get(qid)
                     stats, doc_frame = _query_block_frames(
@@ -1156,19 +1222,33 @@ def _batch_candidates_fn(queries_terms, needed, deletes_dir=None,
                         top_k=top_k, avgdl=avgdl, known_idfs=covered,
                     )
                     if stats and covered is None:
-                        frames.append(pd.DataFrame(
-                            [(qid, 0, pi, da, dn, 0, 0, None, None)
-                             for pi, da, dn in stats],
-                            columns=cols))
+                        for pi, da, dn in stats:
+                            e = stat_sums.setdefault((qid, pi), [0, 0])
+                            e[0] += da
+                            e[1] += dn
                     if doc_frame is not None:
-                        common, dl, ta, tn = doc_frame
-                        frames.append(pd.DataFrame(
-                            {"qid": qid, "kind": 1, "phrase": -1,
-                             "df_all": 0, "df_name": 0,
-                             "doc_id": common, "dl": dl,
-                             "tfs_all": ta, "tfs_name": tn}))
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
+                        frames_by_qid.setdefault(qid, []).append(doc_frame)
+        if stat_sums:
+            # additive df stats: one partial-sum row per (query,
+            # phrase) per task, not per block (see _file_candidates_fn)
+            yield pd.DataFrame(
+                [(qid, 0, pi, da, dn, 0, 0, None, None)
+                 for (qid, pi), (da, dn) in sorted(stat_sums.items())],
+                columns=cols)
+        # one cross-block prune per query at task end (see
+        # _task_emission_prune — doc rows per query become
+        # O(tasks * top_k), independent of block count)
+        for qid, frames in frames_by_qid.items():
+            if top_k and avgdl is not None:
+                docs, dl, ta, tn = _task_emission_prune(
+                    frames, n_ph_by_qid[qid], top_k, avgdl,
+                    known_idfs_by_qid.get(qid))
+            else:
+                docs = np.concatenate([f[0] for f in frames])
+                dl = np.concatenate([f[1] for f in frames])
+                ta = np.vstack([np.vstack(f[2]) for f in frames])
+                tn = np.vstack([np.vstack(f[3]) for f in frames])
+            yield _doc_frame_pdf(docs, dl, ta, tn, qid=qid)
 
     return fn
 
@@ -1379,11 +1459,19 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
     group of the (large) blob columns before filtering; pyarrow's C++
     reader with a term filter + column selection is ~5-10x cheaper per
     query, and each task reads only its own block's shard files — the
-    custom-scan escape hatch the DataFrame API can't express."""
+    custom-scan escape hatch the DataFrame API can't express.
+
+    Doc frames accumulate across the task's blocks and pass through
+    :func:`_task_emission_prune` once at task end (df stats stay
+    per-block, emitted unpruned), so a task scanning hundreds of
+    blocks ships O(top_k) doc rows, not O(blocks * top_k)."""
+    n_ph = len(phrase_term_ids)
 
     def fn(it):
         tomb_cache: dict = {}
         fs_cache: dict = {}
+        stat_sums: dict = {}
+        frames: list = []
         for pdf in it:
             for pblock, path in zip(pdf["pblock"], pdf["path"]):
                 tbl = _read_postings_term_filtered(path, fs_cache, needed)
@@ -1392,11 +1480,36 @@ def _file_candidates_fn(phrase_term_ids: list[list[int]], needed: list[int],
                 deleted = _load_block_tombstones(
                     deletes_dir, pblock, tomb_cache, fs_cache
                 )
-                out = _candidates_from_rows(_rows_from_table(tbl),
-                                            phrase_term_ids,
-                                            deleted, top_k, avgdl, known_idfs)
-                if len(out):
-                    yield out
+                stats, doc_frame = _query_block_frames(
+                    _rows_from_table(tbl), phrase_term_ids, deleted,
+                    top_k=top_k, avgdl=avgdl, known_idfs=known_idfs,
+                )
+                if stats and known_idfs is None:
+                    for pi, da, dn in stats:
+                        e = stat_sums.setdefault(pi, [0, 0])
+                        e[0] += da
+                        e[1] += dn
+                if doc_frame is not None:
+                    frames.append(doc_frame)
+        if stat_sums:
+            # df stats are additive across blocks and every consumer
+            # SUMS them (driver finish and JVM plan alike), so one
+            # partial-sum row per phrase per task replaces one row per
+            # phrase per block
+            yield pd.DataFrame(
+                [(0, pi, da, dn, 0, 0, None, None)
+                 for pi, (da, dn) in sorted(stat_sums.items())],
+                columns=_CAND_COLS)
+        if frames:
+            if top_k and avgdl is not None:
+                docs, dl, ta, tn = _task_emission_prune(
+                    frames, n_ph, top_k, avgdl, known_idfs)
+            else:
+                docs = np.concatenate([f[0] for f in frames])
+                dl = np.concatenate([f[1] for f in frames])
+                ta = np.vstack([np.vstack(f[2]) for f in frames])
+                tn = np.vstack([np.vstack(f[3]) for f in frames])
+            yield _doc_frame_pdf(docs, dl, ta, tn)
 
     return fn
 
