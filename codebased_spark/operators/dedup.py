@@ -192,26 +192,42 @@ def lsh_candidate_pairs(
       (1/4)^(1/4) ≈ 0.71 trigram-Jaccard: unrelated docs almost never
       share a 4-hash band, near-dups (s ≥ 0.8) are caught with
       P ≥ 1-(1-0.8⁴)⁴ ≈ 0.92 (recall test in test_training_ops.py).
-    - buckets larger than ``max_bucket`` are dropped BEFORE the
-      self-join — one degenerate bucket (e.g. the empty-text bucket) is
+    - buckets larger than ``max_bucket`` are dropped BEFORE any pair
+      forms — one degenerate bucket (e.g. the empty-text bucket) is
       otherwise O(|bucket|²) regardless of banding.
       :func:`lsh_bucket_stats` reports exactly what was dropped.
+
+    Physical shape (r7): ONE pass over the corpus. The former
+    size-count + semi-join + self-join spelling referenced the bands
+    subtree (trigram expansion + 16 MinHash folds — the expensive
+    part) from four places and the optimizer reused none of them: the
+    plan held EIGHT scans of the corpus (measured 5.9 s at 500 docs).
+    Grouping each bucket's (capped, sorted) doc list and expanding
+    i<j pairs with array transforms keeps one scan + two exchanges
+    and returns the identical pair set (the bucket cap becomes a
+    HAVING on the collected size; pairs are ordered because the list
+    is sorted). Oracle-pinned (lsh_candidate_pairs gate entry).
     """
     bands = _lsh_bands(docs, text_col, n_hashes, band_size)
-    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("size"))
-    capped = bands.join(
-        sizes.filter(F.col("size") <= max_bucket), ["band", "bucket"], "left_semi"
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = capped.alias("l")
-    right = capped.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # all i<j pairs of the sorted list: for element x at 0-based
+    # position i, pair with every element after it (slice is 1-based)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
