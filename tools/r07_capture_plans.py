@@ -66,9 +66,9 @@ def main() -> None:
     from codebased_spark.operators.query import (
         CAND2_SCHEMA,
         _file_candidates_fn,
-        _files_df,
         _parse_single,
         _prune_posting_files,
+        _scan_df,
     )
 
     for name, q in QUERIES.items():
@@ -84,7 +84,8 @@ def main() -> None:
             with open(os.path.join(out_dir, f"{name}_scan_{tag}.txt"), "w") as f:
                 f.write("(presence pruned every shard: zero-job result)\n")
             continue
-        cand = _files_df(spark, files).mapInPandas(
+        cand = _scan_df(
+            spark, files,
             _file_candidates_fn(term_ids, needed, None, 32, index.avgdl, None),
             CAND2_SCHEMA)
         write(f"{name}_scan", cand)
